@@ -1,0 +1,75 @@
+"""Shape/dtype/grad contracts for the functional models."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_caption_tpu.models import caption_model as cm
+from video_caption_tpu.models import gpt2 as g2
+
+
+def test_encode_video_shape_and_dtype(tiny_params, tiny_cfg):
+    video = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 3, 32, 32))
+    emb = cm.encode_video(tiny_params, video, tiny_cfg)
+    assert emb.shape == (2, tiny_cfg.video_dim)
+    assert emb.dtype == jnp.float32  # output always cast to fp32 (video_encoder.py:321-324)
+
+
+def test_prefix_shape(tiny_params, tiny_cfg):
+    video = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 3, 32, 32))
+    prefix = cm.video_to_prefix(tiny_params, video, tiny_cfg)
+    assert prefix.shape == (2, tiny_cfg.prefix_len, tiny_cfg.gpt2.n_embd)
+
+
+def test_gpt2_prefill_then_decode_consistent(tiny_params, tiny_cfg):
+    """Incremental decode must produce identical logits to one full forward."""
+    gcfg = tiny_cfg.gpt2
+    params = tiny_params["decoder"]
+    b, s = 2, 6
+    rng = jax.random.PRNGKey(3)
+    embeds = jax.random.normal(rng, (b, s, gcfg.n_embd))
+    positions = jnp.broadcast_to(jnp.arange(s), (b, s)).astype(jnp.int32)
+    mask = jnp.ones((b, s), jnp.int32)
+
+    # full forward
+    full_logits = g2.gpt2_logits_nocache(params, embeds, positions, mask, gcfg)
+
+    # prefill 4, then decode steps 4 and 5 incrementally
+    max_len = s
+    cache = g2.init_cache(gcfg, b, max_len)
+    valid = jnp.concatenate([jnp.ones((b, 4), jnp.int32), jnp.zeros((b, 2), jnp.int32)], 1)
+    lg, cache = g2.gpt2_forward(params, embeds[:, :4], positions[:, :4], valid, cache, jnp.int32(0), gcfg)
+    np.testing.assert_allclose(lg, full_logits[:, :4], rtol=5e-4, atol=5e-4)
+    for t in range(4, s):
+        valid = valid.at[:, t].set(1)
+        lg, cache = g2.gpt2_forward(
+            params, embeds[:, t : t + 1], positions[:, t : t + 1], valid, cache,
+            jnp.int32(t), gcfg,
+        )
+        np.testing.assert_allclose(lg[:, 0], full_logits[:, t], rtol=5e-4, atol=5e-4)
+
+
+def test_compute_loss_finite_and_differentiable(tiny_params, tiny_cfg):
+    video = jax.random.normal(jax.random.PRNGKey(5), (2, 3, 3, 32, 32))
+    ids = jnp.array([[5, 6, 7, 127], [8, 9, 127, 127]], jnp.int32)
+    mask = jnp.array([[1, 1, 1, 1], [1, 1, 1, 0]], jnp.int32)
+
+    def loss_fn(p):
+        return cm.compute_loss(p, video, ids, mask, tiny_cfg)
+
+    loss, grads = jax.value_and_grad(loss_fn)(tiny_params)
+    assert np.isfinite(float(loss))
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))), grads, 0.0
+    )
+    assert gnorm > 0
+
+
+def test_loss_ignores_padding(tiny_params, tiny_cfg):
+    """Changing a masked (pad) token must not change the loss."""
+    video = jax.random.normal(jax.random.PRNGKey(5), (1, 3, 3, 32, 32))
+    mask = jnp.array([[1, 1, 1, 0]], jnp.int32)
+    ids_a = jnp.array([[5, 6, 7, 0]], jnp.int32)
+    ids_b = jnp.array([[5, 6, 7, 99]], jnp.int32)
+    la = cm.compute_loss(tiny_params, video, ids_a, mask, tiny_cfg)
+    lb = cm.compute_loss(tiny_params, video, ids_b, mask, tiny_cfg)
+    np.testing.assert_allclose(la, lb, rtol=1e-6)

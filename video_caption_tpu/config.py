@@ -1,0 +1,156 @@
+"""Three-layer configuration stack: env vars -> module defaults -> frozen dataclasses.
+
+Mirrors the reference's config design (backend_config.py env parsing ->
+server/settings.py defaults -> core/config.py frozen dataclasses) with the
+TPU-relevant knobs. The reference's ten ViT fusion switches
+(core/config.py:32-45) collapse here into a dtype policy + pool mode: XLA
+performs those fusions automatically under jit.
+"""
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+from dataclasses import dataclass, field
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    """Parse VIDEO_CAPTION_* boolean env vars (reference: backend_config.py:29-41)."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    return raw.strip().lower() in {"1", "true", "yes", "on"}
+
+
+def _env_str(name: str, default: str) -> str:
+    raw = os.environ.get(name)
+    return default if raw is None else raw
+
+
+def _env_int(name: str, default: int) -> int:
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        return default
+
+
+def _env_float(name: str, default: float) -> float:
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        return float(raw)
+    except ValueError:
+        return default
+
+
+# ---------------------------------------------------------------------------
+# Module-level defaults (layer 2; reference: backend_config.py:11-68)
+# ---------------------------------------------------------------------------
+
+CKPT_PATH = _env_str("VIDEO_CAPTION_CKPT", "checkpoints/msvd_mapper_finetune_v2.pt")
+VIT_NAME = _env_str("VIDEO_CAPTION_VIT", "vit_base_patch16_224")
+GPT2_NAME = _env_str("VIDEO_CAPTION_GPT2", "gpt2")
+
+DEFAULT_PRESETS = ("precise", "precise", "natural")
+DEFAULT_PROMPTS = (
+    "",
+    "State the main action in one short sentence:",
+    "Write a short, natural caption:",
+)
+
+
+@dataclass(frozen=True)
+class MemoryConfig:
+    """HBM policy for one TPU chip (reference analog: core/config.py:6-13).
+
+    v5e has 16 GB HBM; the budget below leaves headroom for XLA scratch.
+    ``max_concurrent_device_tasks`` preserves the reference's serialize-the-
+    accelerator admission contract (server/services/task_manager.py:10-22);
+    on TPU the queue sits in front of compiled executables.
+    """
+
+    max_device_mem_mb: int = 14_000
+    allow_host_fallback: bool = False
+    max_concurrent_device_tasks: int = 1
+
+
+@dataclass(frozen=True)
+class CompileConfig:
+    """XLA/Pallas compilation policy.
+
+    This is the TPU-native replacement for both the reference's
+    ViTOptimizeConfig flag zoo (core/config.py:32-45) and its reserved
+    TensorRT backend boundary (core/config.py:16-28): everything compiles
+    through XLA; Pallas kernels are the "plugins".
+    """
+
+    dtype: str = "bfloat16"          # compute dtype for matmul-heavy paths
+    param_dtype: str = "float32"     # master parameter dtype
+    output_fp32: bool = True         # encoder output cast back to fp32
+    use_pallas_fused_pool: bool = _env_bool("VIDEO_CAPTION_PALLAS_POOL", True)
+    use_pallas_prefix_projector: bool = _env_bool("VIDEO_CAPTION_PALLAS_PROJ", True)
+    use_pallas_decode_attention: bool = _env_bool("VIDEO_CAPTION_PALLAS_DECODE", False)
+    donate_buffers: bool = True
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh / sharding seam (reference explicitly has none; SURVEY §2.9).
+
+    A 1-chip mesh is the default. Multi-chip batch data parallelism over ICI
+    is a config change, not a rewrite: axis sizes multiply to the device
+    count and the batch dim is sharded over ``data_axis``.
+    """
+
+    data: int = 1       # DP degree (batch sharding)
+    model: int = 1      # TP degree (head/ffn sharding)
+    data_axis: str = "data"
+    model_axis: str = "model"
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.model
+
+
+@dataclass(frozen=True)
+class InferenceConfig:
+    """Stateless inference configuration (reference: core/config.py:47-72)."""
+
+    ckpt: str = CKPT_PATH
+    stage: str = "all"
+    vit_name: str = VIT_NAME
+    gpt2_name: str = GPT2_NAME
+    prefix_len: int = 4
+    num_frames: int = 8
+    image_size: int = 224
+    ln_scale: float = 0.6
+    in_weight: float = 0.4
+    preset1: str = DEFAULT_PRESETS[0]
+    preset2: str = DEFAULT_PRESETS[1]
+    preset3: str = DEFAULT_PRESETS[2]
+    prompt1: str = DEFAULT_PROMPTS[0]
+    prompt2: str = DEFAULT_PROMPTS[1]
+    prompt3: str = DEFAULT_PROMPTS[2]
+    backend: str = "xla"             # "xla" (jit) — the only real backend; kept
+                                     # as a field for schema parity with the
+                                     # reference's torch/tensorrt axis
+    max_decode_len: int = 96         # static decode buffer: prefix+prompt+new
+    memory: MemoryConfig = field(default_factory=MemoryConfig)
+    compile: CompileConfig = field(default_factory=CompileConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def cache_key(self) -> str:
+        """Stable hash for the compiled-engine registry
+        (reference analog: server/services/model_registry.py:12-15)."""
+        payload = json.dumps(dataclasses.asdict(self), sort_keys=True)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def default_inference_config(**overrides) -> InferenceConfig:
+    """Build the server-default config (reference: server/settings.py:17-49)."""
+    return dataclasses.replace(InferenceConfig(), **overrides) if overrides else InferenceConfig()

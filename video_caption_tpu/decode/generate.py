@@ -1,0 +1,225 @@
+"""Scan-based autoregressive generation with a static KV cache.
+
+TPU-native replacement for HF ``model.generate`` as the reference uses it
+(src/models/text_decoder.py:105-146): prefix+prompt enter via
+``inputs_embeds``; greedy, temperature/top-p sampling, and beam search with
+repetition penalty, no-repeat-ngram, min_new_tokens and EOS handling.
+
+Everything is fixed-shape: the decode loop is one ``lax.scan`` whose step
+runs a single-token forward against the preallocated cache; finished rows
+keep stepping but their outputs are frozen to EOS (the per-sample
+finished-mask semantics of benchmark_baseline.py:212-224 / HF generate).
+
+do_sample gating replicates the reference's rule exactly:
+``do_sample = (num_beams == 1 and temperature != 1.0)`` (text_decoder.py:137).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from video_caption_tpu.decode import logits_process as lp
+from video_caption_tpu.models import gpt2 as g2
+
+
+@dataclass(frozen=True)
+class DecodeParams:
+    """Static decode policy — one compiled program per distinct value."""
+
+    max_new_tokens: int = 24
+    num_beams: int = 1
+    temperature: float = 1.0
+    top_p: float = 1.0
+    no_repeat_ngram_size: int = 3
+    repetition_penalty: float = 1.1
+    min_new_tokens: int = 8
+    eos_id: int = 50256
+
+    @property
+    def do_sample(self) -> bool:
+        return self.num_beams == 1 and self.temperature != 1.0
+
+
+def _process_logits(
+    logits: jax.Array, generated: jax.Array, t: jax.Array, dp: DecodeParams
+) -> jax.Array:
+    logits = lp.apply_repetition_penalty(logits, generated, t, dp.repetition_penalty)
+    logits = lp.apply_no_repeat_ngram(logits, generated, t, dp.no_repeat_ngram_size)
+    logits = lp.apply_min_new_tokens(logits, t, dp.min_new_tokens, dp.eos_id)
+    return logits
+
+
+def _prefill(
+    gpt2_params, gpt2_cfg: g2.GPT2Config, inputs_embeds: jax.Array, max_len: int
+) -> Tuple[jax.Array, g2.Cache, jax.Array]:
+    """Run the prompt through the model; returns (last-token logits, cache, valid)."""
+    b, s0, _ = inputs_embeds.shape
+    cache = g2.init_cache(gpt2_cfg, b, max_len)
+    valid = jnp.zeros((b, max_len), jnp.int32)
+    valid = jax.lax.dynamic_update_slice(valid, jnp.ones((b, s0), jnp.int32), (0, 0))
+    positions = jnp.broadcast_to(jnp.arange(s0, dtype=jnp.int32), (b, s0))
+    logits, cache = g2.gpt2_forward(
+        gpt2_params, inputs_embeds, positions, valid, cache, jnp.int32(0), gpt2_cfg
+    )
+    return logits[:, -1, :], cache, valid
+
+
+def greedy_or_sample(
+    gpt2_params,
+    gpt2_cfg: g2.GPT2Config,
+    inputs_embeds: jax.Array,        # [B, S0, H]
+    dp: DecodeParams,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Greedy or top-p sampled decode. Returns generated ids [B, max_new_tokens]
+    (EOS-padded after a row finishes, matching pad_token_id=eos)."""
+    b, s0, _ = inputs_embeds.shape
+    n = dp.max_new_tokens
+    max_len = s0 + n
+    last_logits, cache, valid = _prefill(gpt2_params, gpt2_cfg, inputs_embeds, max_len)
+    generated = jnp.full((b, n), dp.eos_id, jnp.int32)
+    finished = jnp.zeros((b,), bool)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def step(carry, t):
+        last_logits, cache, valid, generated, finished, rng = carry
+        logits = _process_logits(last_logits, generated, t, dp)
+        if dp.do_sample:
+            logits = lp.apply_temperature(logits, dp.temperature)
+            logits = lp.apply_top_p(logits, dp.top_p)
+            rng, sub = jax.random.split(rng)
+            token = jax.random.categorical(sub, logits, axis=-1)
+        else:
+            token = jnp.argmax(logits, axis=-1)
+        token = jnp.where(finished, dp.eos_id, token.astype(jnp.int32))
+        generated = jax.lax.dynamic_update_slice(generated, token[:, None], (0, t))
+        finished = finished | (token == dp.eos_id)
+
+        # feed the token back for the next step's logits
+        embeds = gpt2_params["wte"][token][:, None, :]
+        positions = jnp.broadcast_to((s0 + t).astype(jnp.int32), (b, 1))
+        valid = jax.lax.dynamic_update_slice(valid, jnp.ones((b, 1), jnp.int32), (0, s0 + t))
+        logits_new, cache = g2.gpt2_forward(
+            gpt2_params, embeds, positions, valid, cache, s0 + t, gpt2_cfg
+        )
+        return (logits_new[:, -1, :], cache, valid, generated, finished, rng), None
+
+    carry = (last_logits, cache, valid, generated, finished, rng)
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(n, dtype=jnp.int32))
+    return carry[3]
+
+
+def beam_search(
+    gpt2_params,
+    gpt2_cfg: g2.GPT2Config,
+    inputs_embeds: jax.Array,        # [B, S0, H]
+    dp: DecodeParams,
+) -> jax.Array:
+    """Fixed-shape beam search (HF semantics: 2K candidate expansion, EOS
+    candidates move to a finished-hypothesis set scored with length_penalty=1,
+    survivors continue; best finished hypothesis wins, running beams are
+    merged in at the end if unfinished). Returns ids [B, max_new_tokens]."""
+    b, s0, h = inputs_embeds.shape
+    k = dp.num_beams
+    n = dp.max_new_tokens
+    max_len = s0 + n
+    neg_inf = jnp.float32(-1e9)
+
+    last_logits, cache, valid = _prefill(gpt2_params, gpt2_cfg, inputs_embeds, max_len)
+    # tile to beams: batch-major flatten [B*K, ...]
+    last_logits = jnp.repeat(last_logits, k, axis=0)
+    cache = {key: jnp.repeat(val, k, axis=1) for key, val in cache.items()}
+    valid = jnp.repeat(valid, k, axis=0)
+
+    beam_scores = jnp.tile(jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), neg_inf)]), (b, 1))
+    generated = jnp.full((b, k, n), dp.eos_id, jnp.int32)
+    fin_scores = jnp.full((b, k), -jnp.inf, jnp.float32)
+    fin_seqs = jnp.full((b, k, n), dp.eos_id, jnp.int32)
+
+    def step(carry, t):
+        last_logits, cache, valid, beam_scores, generated, fin_scores, fin_seqs = carry
+        flat_gen = generated.reshape(b * k, n)
+        logits = _process_logits(last_logits, flat_gen, t, dp)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # [B*K, V]
+        v = logp.shape[-1]
+        cand = beam_scores.reshape(b * k, 1) + logp
+        cand = cand.reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(cand, 2 * k)          # [B, 2K]
+        parent = top_idx // v                                      # beam index
+        token = (top_idx % v).astype(jnp.int32)
+
+        is_eos = token == dp.eos_id
+        # --- finished-hypothesis update (normalized by generated length incl. eos)
+        eos_norm = jnp.where(is_eos, top_scores / (t.astype(jnp.float32) + 1.0), -jnp.inf)
+        cand_seqs = jnp.take_along_axis(generated, parent[..., None], axis=1)  # [B,2K,N]
+        eos_col = jnp.broadcast_to(token[..., None], cand_seqs.shape[:2] + (1,))
+        cand_seqs = jax.lax.dynamic_update_slice_in_dim(
+            cand_seqs, eos_col, t, axis=2
+        )
+        all_scores = jnp.concatenate([fin_scores, eos_norm], axis=1)          # [B, 3K]
+        all_seqs = jnp.concatenate([fin_seqs, cand_seqs], axis=1)             # [B, 3K, N]
+        new_fin_scores, fin_pick = jax.lax.top_k(all_scores, k)
+        new_fin_seqs = jnp.take_along_axis(all_seqs, fin_pick[..., None], axis=1)
+
+        # --- continuing beams: best K non-eos among the 2K
+        cont_rank = top_scores + jnp.where(is_eos, neg_inf * 2, 0.0)
+        _, cont_pick = jax.lax.top_k(cont_rank, k)                             # [B, K]
+        new_scores = jnp.take_along_axis(top_scores, cont_pick, axis=1)
+        new_parent = jnp.take_along_axis(parent, cont_pick, axis=1)           # [B, K]
+        new_token = jnp.take_along_axis(token, cont_pick, axis=1)
+
+        new_gen = jnp.take_along_axis(generated, new_parent[..., None], axis=1)
+        new_gen = jax.lax.dynamic_update_slice_in_dim(
+            new_gen, new_token[..., None], t, axis=2
+        )
+
+        # reorder cache/valid by parent beam (flat gather over B*K)
+        flat_parent = (new_parent + jnp.arange(b)[:, None] * k).reshape(-1)
+        cache = {key: val[:, flat_parent] for key, val in cache.items()}
+        valid = valid[flat_parent]
+        last_valid_pos = s0 + t
+        valid = jax.lax.dynamic_update_slice(
+            valid, jnp.ones((b * k, 1), jnp.int32), (0, last_valid_pos)
+        )
+
+        # next-step logits for the reordered beams
+        embeds = gpt2_params["wte"][new_token.reshape(-1)][:, None, :]
+        positions = jnp.broadcast_to((s0 + t).astype(jnp.int32), (b * k, 1))
+        logits_new, cache = g2.gpt2_forward(
+            gpt2_params, embeds, positions, valid, cache, s0 + t, gpt2_cfg
+        )
+        carry = (
+            logits_new[:, -1, :], cache, valid, new_scores, new_gen,
+            new_fin_scores, new_fin_seqs,
+        )
+        return carry, None
+
+    carry = (last_logits, cache, valid, beam_scores, generated, fin_scores, fin_seqs)
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(n, dtype=jnp.int32))
+    _, _, _, beam_scores, generated, fin_scores, fin_seqs = carry
+
+    # merge running (unfinished) beams, normalized by full length (HF finalize)
+    run_norm = beam_scores / float(n)
+    all_scores = jnp.concatenate([fin_scores, run_norm], axis=1)
+    all_seqs = jnp.concatenate([fin_seqs, generated], axis=1)
+    best = jnp.argmax(all_scores, axis=1)
+    return jnp.take_along_axis(all_seqs, best[:, None, None], axis=1)[:, 0, :]
+
+
+@partial(jax.jit, static_argnames=("gpt2_cfg", "dp"))
+def generate(
+    gpt2_params,
+    gpt2_cfg: g2.GPT2Config,
+    inputs_embeds: jax.Array,
+    dp: DecodeParams,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Dispatch on the (static) decode policy. Returns ids [B, max_new_tokens]."""
+    if dp.num_beams > 1:
+        return beam_search(gpt2_params, gpt2_cfg, inputs_embeds, dp)
+    return greedy_or_sample(gpt2_params, gpt2_cfg, inputs_embeds, dp, rng)

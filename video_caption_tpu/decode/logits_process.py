@@ -1,0 +1,111 @@
+"""Jit-friendly logits processors reproducing HF generate semantics over
+fixed-size generated-token buffers (SURVEY §7 hard parts 1-3).
+
+Semantics notes (matching HF when called with ``inputs_embeds`` only, as the
+reference does at text_decoder.py:131-144): the prompt is consumed as embeds,
+so repetition penalty and no-repeat-ngram operate on **generated tokens
+only**; ``min_new_tokens`` bans EOS until the threshold.
+
+All functions take ``generated [B, N]`` (static N = max_new_tokens) plus the
+current step ``t`` (traced scalar) and mask by position — no dynamic shapes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def apply_repetition_penalty(
+    logits: jax.Array,      # [B, V] fp32
+    generated: jax.Array,   # [B, N] int32
+    t: jax.Array,           # scalar int32 — tokens generated so far
+    penalty: float,
+) -> jax.Array:
+    """HF CFG-style penalty: seen & score>0 -> score/p, seen & score<=0 -> score*p."""
+    if penalty == 1.0:
+        return logits
+    b, v = logits.shape
+    n = generated.shape[1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    seen_mask = (pos < t).astype(jnp.float32)
+    presence = jnp.zeros((b, v), jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, n), 0)
+    presence = presence.at[rows, generated].add(seen_mask)
+    seen = presence > 0
+    return jnp.where(seen, jnp.where(logits > 0, logits / penalty, logits * penalty), logits)
+
+
+def apply_no_repeat_ngram(
+    logits: jax.Array,      # [B, V]
+    generated: jax.Array,   # [B, N]
+    t: jax.Array,           # scalar — next token index to be generated
+    ngram_size: int,
+) -> jax.Array:
+    """Ban token x if (generated[t-n+1 : t], x) already occurred as an n-gram.
+
+    Vectorized over the fixed buffer: for each start i <= t-n, compare the
+    (n-1)-token context ending at t-1 against generated[i : i+n-1]; matching
+    starts ban generated[i+n-1].
+    """
+    if ngram_size <= 0:
+        return logits
+    b, v = logits.shape
+    n_buf = generated.shape[1]
+    ctx = ngram_size - 1
+    if n_buf < ngram_size:
+        return logits
+
+    # context tokens generated[t-ctx : t] via gather (indices clipped; masked below)
+    ctx_idx = t - ctx + jnp.arange(ctx)                     # [ctx]
+    ctx_tok = generated[:, jnp.clip(ctx_idx, 0, n_buf - 1)]  # [B, ctx]
+
+    starts = n_buf - ctx  # candidate start positions 0..starts-1
+    # windows[:, i, j] = generated[:, i+j] for j in 0..ctx-1
+    win_idx = jnp.arange(starts)[:, None] + jnp.arange(ctx)[None, :]  # [starts, ctx]
+    windows = generated[:, win_idx]                          # [B, starts, ctx]
+    match = jnp.all(windows == ctx_tok[:, None, :], axis=-1)  # [B, starts]
+    # start i is a *completed* ngram only if its last token i+ctx-1 <= t-1
+    # and the banned continuation i+ctx <= t-1 was itself generated
+    i_pos = jax.lax.broadcasted_iota(jnp.int32, (b, starts), 1)
+    valid = (i_pos + ctx <= t - 1) & (t >= ctx)
+    match = match & valid
+    banned_tok = generated[:, ctx:]                          # [B, starts] — token at i+ctx
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, starts), 0)
+    ban = jnp.zeros((b, v), jnp.float32).at[rows, banned_tok].add(match.astype(jnp.float32))
+    return jnp.where(ban > 0, jnp.float32(-jnp.inf), logits)
+
+
+def apply_min_new_tokens(
+    logits: jax.Array, t: jax.Array, min_new_tokens: int, eos_id: int
+) -> jax.Array:
+    """EOS is unreachable until ``min_new_tokens`` have been generated
+    (HF MinNewTokensLengthLogitsProcessor; reference default min_new=8,
+    text_decoder.py:114)."""
+    if min_new_tokens <= 0:
+        return logits
+    ban = t < min_new_tokens
+    eos_col = logits[:, eos_id]
+    new_col = jnp.where(ban, jnp.float32(-jnp.inf), eos_col)
+    return logits.at[:, eos_id].set(new_col)
+
+
+def apply_temperature(logits: jax.Array, temperature: float) -> jax.Array:
+    if temperature == 1.0 or temperature <= 0:
+        return logits
+    return logits / jnp.float32(temperature)
+
+
+def apply_top_p(logits: jax.Array, top_p: float) -> jax.Array:
+    """Nucleus filtering (HF TopPLogitsWarper, min_tokens_to_keep=1)."""
+    if top_p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]           # descending
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens while cumulative prob (exclusive of self) < top_p
+    keep_sorted = (cum - probs) < top_p
+    # threshold = smallest kept logit
+    thresholds = jnp.min(
+        jnp.where(keep_sorted, sorted_logits, jnp.float32(jnp.inf)), axis=-1, keepdims=True
+    )
+    return jnp.where(logits >= thresholds, logits, jnp.float32(-jnp.inf))

@@ -1,0 +1,61 @@
+"""Dependency and accelerator gates (reference: core/env.py:20-74).
+
+Named dependency groups asserted before model load; the TPU check replaces
+the reference's CUDA availability probe.
+"""
+from __future__ import annotations
+
+import importlib
+from typing import Iterable
+
+
+class RuntimeNotReady(RuntimeError):
+    pass
+
+
+_CORE_DEPS = ("jax", "jax.numpy", "numpy", "PIL")
+_SERVER_DEPS = ("fastapi", "uvicorn", "pydantic")
+_FRONTEND_DEPS = ("httpx",)
+
+
+def _assert_importable(names: Iterable[str], group: str) -> None:
+    missing = []
+    for name in names:
+        try:
+            importlib.import_module(name)
+        except Exception:  # pragma: no cover - import failure path
+            missing.append(name)
+    if missing:
+        raise RuntimeNotReady(f"missing {group} dependencies: {', '.join(missing)}")
+
+
+def assert_core_runtime_ready(require_tpu: bool = False) -> None:
+    _assert_importable(_CORE_DEPS, "core")
+    if require_tpu:
+        import jax
+
+        kinds = {d.platform for d in jax.devices()}
+        if not kinds & {"tpu", "axon"}:
+            raise RuntimeNotReady(f"TPU required but available platforms are {sorted(kinds)}")
+
+
+def assert_server_runtime_ready() -> None:
+    assert_core_runtime_ready()
+    _assert_importable(_SERVER_DEPS, "server")
+
+
+def assert_frontend_runtime_ready() -> None:
+    _assert_importable(_FRONTEND_DEPS, "frontend")
+
+
+def device_summary() -> dict:
+    """Environment fingerprint for reports (reference: benchmark_baseline.py:319-327)."""
+    import jax
+
+    devs = jax.devices()
+    return {
+        "jax_version": jax.__version__,
+        "backend": jax.default_backend(),
+        "num_devices": len(devs),
+        "device_kind": devs[0].device_kind if devs else "none",
+    }

@@ -1,0 +1,197 @@
+"""GPT-2 decoder with a static-shape KV cache, TPU-first.
+
+Capability parity with the reference decoder (src/models/text_decoder.py):
+prefix-conditioned generation through ``inputs_embeds`` and teacher-forcing
+loss. The reference leans on HF ``GPT2LMHeadModel`` with *dynamic*
+``past_key_values`` (text_decoder.py:131-144) — on TPU that would recompile
+every step, so this module is built around:
+
+- a **preallocated HBM-resident KV cache** of static ``max_len``
+  (SURVEY §5.7): ``{'k','v'}: [L, B, max_len, n_head, head_dim]``,
+- one unified forward for prefill (S>1 at offset 0) and decode (S=1 at
+  offset t) so a single compiled program serves the scan-based decode loop,
+- ``lax.scan`` over stacked block parameters AND the per-layer cache slices
+  (cache slices ride the scan xs/ys — no Python loop over 12 layers),
+- fp32 softmax + fp32 logits for decode-policy numerical stability.
+
+Weight layout: every projection is stored ``[in, out]`` — this matches HF
+GPT-2's Conv1D weights directly (the layout trap noted in SURVEY §7 hard
+part 4); torch ``nn.Linear`` weights are transposed by models/convert.py.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+Cache = Dict[str, jax.Array]
+
+
+@dataclass(frozen=True)
+class GPT2Config:
+    """Geometry of HF ``gpt2`` base (SURVEY §2.3)."""
+
+    vocab_size: int = 50257
+    max_position_embeddings: int = 1024
+    n_embd: int = 768
+    n_layer: int = 12
+    n_head: int = 12
+    dtype: Any = jnp.bfloat16
+    ln_eps: float = 1e-5
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_head
+
+
+def init_gpt2_params(key: jax.Array, cfg: GPT2Config) -> Params:
+    k = iter(jax.random.split(key, 8))
+    h, d, mlp = cfg.n_embd, cfg.n_layer, 4 * cfg.n_embd
+    init = jax.nn.initializers.normal(stddev=0.02)
+
+    def nrm(key, shape):
+        return init(key, shape, jnp.float32)
+
+    return {
+        "wte": nrm(next(k), (cfg.vocab_size, h)),
+        "wpe": nrm(next(k), (cfg.max_position_embeddings, h)),
+        "blocks": {
+            "ln1_scale": jnp.ones((d, h)),
+            "ln1_bias": jnp.zeros((d, h)),
+            "attn_w": nrm(next(k), (d, h, 3 * h)),
+            "attn_b": jnp.zeros((d, 3 * h)),
+            "proj_w": nrm(next(k), (d, h, h)),
+            "proj_b": jnp.zeros((d, h)),
+            "ln2_scale": jnp.ones((d, h)),
+            "ln2_bias": jnp.zeros((d, h)),
+            "fc_w": nrm(next(k), (d, h, mlp)),
+            "fc_b": jnp.zeros((d, mlp)),
+            "out_w": nrm(next(k), (d, mlp, h)),
+            "out_b": jnp.zeros((d, h)),
+        },
+        "lnf_scale": jnp.ones((h,)),
+        "lnf_bias": jnp.zeros((h,)),
+    }
+
+
+def init_cache(cfg: GPT2Config, batch: int, max_len: int, dtype: Any = None) -> Cache:
+    """Preallocated static-shape KV cache (lives in HBM between steps)."""
+    dtype = dtype or cfg.dtype
+    shape = (cfg.n_layer, batch, max_len, cfg.n_head, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def _cached_attention(
+    x: jax.Array,
+    blk: Params,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    offset: jax.Array,
+    valid_mask: jax.Array,
+    cfg: GPT2Config,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Attention for S new tokens at absolute positions [offset, offset+S).
+
+    ``valid_mask`` is [B, max_len] over *cache columns* (1 = real token after
+    this forward's writes). Returns (output [B,S,H], new_k, new_v caches).
+    """
+    b, s, h = x.shape
+    max_len = k_cache.shape[1]
+    qkv = x @ blk["attn_w"].astype(x.dtype) + blk["attn_b"].astype(x.dtype)
+    qkv = qkv.reshape(b, s, 3, cfg.n_head, cfg.head_dim)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,S,nh,hd]
+
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, offset, 0, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, offset, 0, 0))
+
+    scale = cfg.head_dim ** -0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k_cache.astype(q.dtype), preferred_element_type=jnp.float32
+    ) * scale  # [B,nh,S,max_len]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (s, max_len), 1)
+    row_abs = offset + jax.lax.broadcasted_iota(jnp.int32, (s, max_len), 0)
+    causal = col <= row_abs  # [S, max_len]
+    mask = causal[None, None, :, :] & (valid_mask[:, None, None, :] > 0)
+    logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v_cache.astype(x.dtype))
+    out = out.reshape(b, s, h)
+    out = out @ blk["proj_w"].astype(x.dtype) + blk["proj_b"].astype(x.dtype)
+    return out, k_cache, v_cache
+
+
+def gpt2_forward(
+    params: Params,
+    inputs_embeds: jax.Array,   # [B,S,H] fp32 or compute dtype
+    positions: jax.Array,       # [B,S] int32 — absolute position ids (wpe index)
+    valid_mask: jax.Array,      # [B,max_len] int32 — 1 where a real token sits
+    cache: Cache,
+    offset: jax.Array,          # scalar int32 — cache write offset
+    cfg: GPT2Config,
+) -> Tuple[jax.Array, Cache]:
+    """Unified prefill/decode forward. Returns (logits [B,S,V] fp32, new cache)."""
+    dt = cfg.dtype
+    x = inputs_embeds.astype(dt) + params["wpe"][positions].astype(dt)
+
+    def body(carry, xs):
+        xv = carry
+        blk, kc, vc = xs
+        a_in = _layer_norm(xv, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
+        a_out, kc, vc = _cached_attention(a_in, blk, kc, vc, offset, valid_mask, cfg)
+        xv = xv + a_out
+        m_in = _layer_norm(xv, blk["ln2_scale"], blk["ln2_bias"], cfg.ln_eps)
+        m = m_in @ blk["fc_w"].astype(dt) + blk["fc_b"].astype(dt)
+        m = jax.nn.gelu(m.astype(jnp.float32), approximate=True).astype(dt)
+        m = m @ blk["out_w"].astype(dt) + blk["out_b"].astype(dt)
+        xv = xv + m
+        return xv, (kc, vc)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (params["blocks"], cache["k"], cache["v"]))
+    x = _layer_norm(x, params["lnf_scale"], params["lnf_bias"], cfg.ln_eps)
+    logits = jnp.einsum(
+        "bsh,vh->bsv", x, params["wte"].astype(dt), preferred_element_type=jnp.float32
+    )
+    return logits, {"k": new_k, "v": new_v}
+
+
+def gpt2_logits_nocache(
+    params: Params,
+    inputs_embeds: jax.Array,  # [B,S,H]
+    positions: jax.Array,      # [B,S]
+    attn_mask: jax.Array,      # [B,S] — 1 for real tokens
+    cfg: GPT2Config,
+) -> jax.Array:
+    """Cache-free training forward (teacher forcing; use_cache=False in the
+    reference trainer, train_caption_mapper.py compute_loss_local)."""
+    b, s, _ = inputs_embeds.shape
+    cache = init_cache(cfg, b, s)
+    logits, _ = gpt2_forward(
+        params, inputs_embeds, positions, attn_mask.astype(jnp.int32), cache,
+        jnp.int32(0), cfg,
+    )
+    return logits
+
+
+def lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """HF-style shifted causal-LM loss; label -100 = ignored
+    (reference: VideoCaptionModel.compute_loss, caption_model.py:104-168)."""
+    shift_logits = logits[:, :-1, :]
+    shift_labels = labels[:, 1:]
+    mask = shift_labels != -100
+    safe_labels = jnp.where(mask, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(jnp.where(mask, nll, 0.0)) / denom

@@ -1,0 +1,190 @@
+"""ViT-B/16 frame encoder, TPU-first.
+
+Capability parity with the reference encoder (src/models/video_encoder.py:288-326):
+``[B,T,3,H,W] -> reshape(B*T) -> ViT trunk -> pool (cls|gap) -> temporal mean
+-> Linear(768->256)``, output cast back to fp32
+(reference casts at video_encoder.py:321-324).
+
+TPU-first design decisions (deliberately NOT a torch translation):
+
+- Block parameters are stacked along a leading ``depth`` axis and the trunk
+  runs as one ``lax.scan`` over layers: one compiled block program instead of
+  12 unrolled ones, and XLA fuses LN/bias/GELU into the surrounding matmuls —
+  this subsumes the reference's hand-toggled fusion flags
+  (video_encoder.py:112-174: fused_attn / tanh-GELU / in-place residual add).
+- Patch embedding runs as a single [B*T*196, 768] matmul (patchify via
+  reshape/transpose) instead of a conv — same arithmetic, maps directly onto
+  the MXU with no im2col.
+- Attention uses one fused QKV matmul per block; softmax in fp32.
+- Compute dtype is a policy knob (bf16 by default), parameters stay fp32.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    """Geometry of ``vit_base_patch16_224`` (reference: SURVEY §2.3)."""
+
+    image_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    pool: str = "cls"          # 'cls' | 'gap' (reference: video_encoder.py:234-260)
+    out_dim: int = 256
+    dtype: Any = jnp.bfloat16  # compute dtype
+    use_pallas_pool: bool = False
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1  # + cls token
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+
+def init_vit_params(key: jax.Array, cfg: ViTConfig) -> Params:
+    """Random-init parameter pytree with timm-compatible structure.
+
+    Weight layout convention: every linear weight is stored ``[in, out]`` so
+    forward is ``x @ w + b`` (torch nn.Linear weights are transposed by the
+    converter, models/convert.py).
+    """
+    k = iter(jax.random.split(key, 16))
+    h, d = cfg.embed_dim, cfg.depth
+    patch_dim = cfg.patch_size * cfg.patch_size * cfg.in_chans
+    mlp = cfg.mlp_ratio * h
+    trunc = jax.nn.initializers.truncated_normal(stddev=0.02)
+
+    def tn(key, shape):
+        return trunc(key, shape, jnp.float32)
+
+    params: Params = {
+        "patch_embed": {"w": tn(next(k), (patch_dim, h)), "b": jnp.zeros((h,))},
+        "cls_token": tn(next(k), (1, 1, h)),
+        "pos_embed": tn(next(k), (1, cfg.seq_len, h)),
+        "blocks": {
+            "ln1_scale": jnp.ones((d, h)),
+            "ln1_bias": jnp.zeros((d, h)),
+            "qkv_w": tn(next(k), (d, h, 3 * h)),
+            "qkv_b": jnp.zeros((d, 3 * h)),
+            "proj_w": tn(next(k), (d, h, h)),
+            "proj_b": jnp.zeros((d, h)),
+            "ln2_scale": jnp.ones((d, h)),
+            "ln2_bias": jnp.zeros((d, h)),
+            "fc1_w": tn(next(k), (d, h, mlp)),
+            "fc1_b": jnp.zeros((d, mlp)),
+            "fc2_w": tn(next(k), (d, mlp, h)),
+            "fc2_b": jnp.zeros((d, h)),
+        },
+        "norm_scale": jnp.ones((h,)),
+        "norm_bias": jnp.zeros((h,)),
+        "head": {"w": tn(next(k), (h, cfg.out_dim)), "b": jnp.zeros((cfg.out_dim,))},
+    }
+    return params
+
+
+def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-6) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def _patchify(images: jax.Array, patch: int) -> jax.Array:
+    """[N,3,H,W] -> [N, num_patches, patch*patch*3], matching conv-patch-embed
+    arithmetic: output channel c of the conv equals dot(patch_pixels, w[:, c])
+    with pixels ordered (chan, ky, kx) — the torch conv-weight layout the
+    converter flattens to."""
+    n, c, hh, ww = images.shape
+    gh, gw = hh // patch, ww // patch
+    x = images.reshape(n, c, gh, patch, gw, patch)
+    x = x.transpose(0, 2, 4, 1, 3, 5)  # [N, gh, gw, c, ph, pw]
+    return x.reshape(n, gh * gw, c * patch * patch)
+
+
+def _attention(x: jax.Array, blk: Params, cfg: ViTConfig) -> jax.Array:
+    n, s, h = x.shape
+    qkv = x @ blk["qkv_w"].astype(x.dtype) + blk["qkv_b"].astype(x.dtype)
+    qkv = qkv.reshape(n, s, 3, cfg.num_heads, cfg.head_dim)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [N,S,nh,hd]
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    scale = cfg.head_dim ** -0.5
+    logits = jnp.einsum("nhqd,nhkd->nhqk", q, k, preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(n, s, h)
+    return out @ blk["proj_w"].astype(x.dtype) + blk["proj_b"].astype(x.dtype)
+
+
+def _block(x: jax.Array, blk: Params, cfg: ViTConfig) -> jax.Array:
+    x = x + _attention(_layer_norm(x, blk["ln1_scale"], blk["ln1_bias"]), blk, cfg)
+    y = _layer_norm(x, blk["ln2_scale"], blk["ln2_bias"])
+    y = y @ blk["fc1_w"].astype(x.dtype) + blk["fc1_b"].astype(x.dtype)
+    y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
+    y = y @ blk["fc2_w"].astype(x.dtype) + blk["fc2_b"].astype(x.dtype)
+    return x + y
+
+
+def vit_trunk(params: Params, images: jax.Array, cfg: ViTConfig) -> jax.Array:
+    """[N,3,H,W] -> [N, seq_len, embed_dim] token features (post final norm)."""
+    dt = cfg.dtype
+    x = _patchify(images.astype(dt), cfg.patch_size)
+    x = x @ params["patch_embed"]["w"].astype(dt) + params["patch_embed"]["b"].astype(dt)
+    n = x.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"].astype(dt), (n, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"].astype(dt)
+
+    def body(carry, blk):
+        return _block(carry, blk, cfg), None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    return _layer_norm(x, params["norm_scale"], params["norm_bias"])
+
+
+def pool_temporal(tokens: jax.Array, batch: int, frames: int, cfg: ViTConfig) -> jax.Array:
+    """Fused spatial pool + temporal mean: [B*T, S, H] -> [B, H].
+
+    XLA reference path; the Pallas kernel (ops/pallas/fused_pool.py) computes
+    the same contraction (reference CUDA kernels: cupy_vit_pool.py:23-104).
+    """
+    if cfg.use_pallas_pool:
+        from video_caption_tpu.ops.pallas.fused_pool import fused_pool_temporal
+
+        out = fused_pool_temporal(tokens, batch, frames, mode=cfg.pool)
+        if out is not None:  # graceful-fallback contract (cupy_vit_pool.py:185-186)
+            return out
+    if cfg.pool == "cls":
+        per_frame = tokens[:, 0, :]
+    else:  # gap over patch tokens, skipping cls (cupy_vit_pool.py:42-61)
+        per_frame = jnp.mean(tokens[:, 1:, :], axis=1)
+    return jnp.mean(per_frame.reshape(batch, frames, -1), axis=1)
+
+
+def vit_encode(params: Params, video: jax.Array, cfg: ViTConfig) -> jax.Array:
+    """[B,T,3,H,W] -> [B, out_dim] fp32 (reference: video_encoder.py:288-326)."""
+    b, t = video.shape[0], video.shape[1]
+    frames = video.reshape(b * t, *video.shape[2:])
+    tokens = vit_trunk(params, frames, cfg)
+    pooled = pool_temporal(tokens, b, t, cfg)
+    out = pooled @ params["head"]["w"].astype(pooled.dtype) + params["head"]["b"].astype(pooled.dtype)
+    return out.astype(jnp.float32)

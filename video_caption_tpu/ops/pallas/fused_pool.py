@@ -1,0 +1,82 @@
+"""Fused spatial-pool + temporal-mean Pallas kernel.
+
+TPU equivalent of the reference's CUDA kernels ``vit_pool_cls_*`` /
+``vit_pool_gap_*`` (core/operators/cupy_vit_pool.py:23-104): one pass over
+the ViT token tensor producing per-video features,
+
+    cls: y[b, h] = mean_t x[b*T + t, 0, h]
+    gap: y[b, h] = mean_t mean_{s>0} x[b*T + t, s, h]
+
+Grid: one program per video; the [T, S, H] token block for that video's
+frames streams HBM->VMEM once and reduces on the VPU with fp32 accumulation
+(the reference kernels also accumulate fp32, cupy_vit_pool.py:64-104).
+
+Fallback contract (cupy_vit_pool.py:139-152): ``fused_pool_temporal``
+returns None for unsupported shapes/platforms and the caller takes the
+pure-XLA path in models/vit.py::pool_temporal.
+"""
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+log = logging.getLogger(__name__)
+
+# observability, mirroring CuPyLinearCompat.last_backend/last_error
+# (cupy_linear_mapper.py:154-184)
+last_backend: Optional[str] = None
+last_error: Optional[str] = None
+
+
+def _pool_kernel(x_ref, out_ref, *, frames: int, gap: bool):
+    x = x_ref[:].astype(jnp.float32)          # [T, S, H]
+    if gap:
+        pooled = jnp.mean(x[:, 1:, :], axis=(0, 1), keepdims=False)
+    else:
+        pooled = jnp.mean(x[:, 0, :], axis=0)
+    out_ref[:] = pooled[None, :].astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("batch", "frames", "mode"))
+def _fused_pool(tokens: jax.Array, batch: int, frames: int, mode: str) -> jax.Array:
+    bt, s, h = tokens.shape
+    kernel = partial(_pool_kernel, frames=frames, gap=(mode == "gap"))
+    return pl.pallas_call(
+        kernel,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((frames, s, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, h), tokens.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=bt * s * h, bytes_accessed=tokens.size * tokens.dtype.itemsize, transcendentals=0
+        ),
+    )(tokens)
+
+
+def fused_pool_temporal(
+    tokens: jax.Array, batch: int, frames: int, mode: str = "cls"
+) -> Optional[jax.Array]:
+    """[B*T, S, H] -> [B, H] or None (caller falls back to XLA)."""
+    global last_backend, last_error
+    if tokens.ndim != 3 or tokens.shape[0] != batch * frames or mode not in ("cls", "gap"):
+        last_backend, last_error = "xla-fallback", "unsupported shape/mode"
+        return None
+    if tokens.shape[-1] % 128 != 0:
+        last_backend, last_error = "xla-fallback", "lane-unaligned hidden dim"
+        return None
+    try:
+        out = _fused_pool(tokens, batch, frames, mode)
+        last_backend, last_error = "pallas", None
+        return out
+    except Exception as exc:  # pragma: no cover - compile failure path
+        last_backend, last_error = "xla-fallback", str(exc)
+        log.warning("pallas fused pool failed; falling back to XLA: %s", exc)
+        return None

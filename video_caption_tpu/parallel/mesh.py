@@ -1,0 +1,90 @@
+"""Device mesh + sharding rules for the caption model.
+
+Design (scaling-book recipe): pick a mesh (data, model), annotate array
+shardings with NamedSharding/PartitionSpec, let XLA's SPMD partitioner
+insert the collectives (psum over "model" for TP matmuls, gradient psum
+over "data" for DP), profile, iterate.
+
+TP rules (megatron-style, applied to stacked [depth, in, out] block weights):
+- qkv / mlp-up weights: shard the OUT dim over "model" (column parallel),
+- attn-proj / mlp-down weights: shard the IN dim over "model" (row parallel),
+- embeddings: shard vocab dim of wte over "model",
+- everything else (LN, biases of row-parallel layers, small heads): replicated.
+
+GSPMD propagates activation shardings from these seeds; no manual
+collectives appear in model code.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from video_caption_tpu.config import MeshConfig
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None, devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if cfg is None:
+        cfg = MeshConfig(data=len(devices), model=1)
+    if cfg.num_devices != len(devices):
+        raise ValueError(f"mesh {cfg.data}x{cfg.model} != {len(devices)} devices")
+    arr = np.asarray(devices).reshape(cfg.data, cfg.model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Shard every leaf's leading (batch) dim over the data axis."""
+    def put(x):
+        spec = P(DATA_AXIS, *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, batch)
+
+
+# --- TP parameter rules ------------------------------------------------------
+
+_COL_PARALLEL = {"qkv_w", "qkv_b", "attn_w", "attn_b", "fc1_w", "fc1_b", "fc_w", "fc_b"}
+_ROW_PARALLEL = {"proj_w", "fc2_w", "out_w"}
+
+
+def _spec_for(path: str, ndim: int, model_size: int, shape) -> P:
+    """PartitionSpec for one parameter leaf, keyed by its field name."""
+    name = path.split("/")[-1]
+    none = [None] * ndim
+    if model_size > 1:
+        if name in _COL_PARALLEL and shape[-1] % model_size == 0:
+            none[-1] = MODEL_AXIS
+            return P(*none)
+        if name in _ROW_PARALLEL and ndim >= 2 and shape[-2] % model_size == 0:
+            none[-2] = MODEL_AXIS
+            return P(*none)
+        if name == "wte" and shape[0] % model_size == 0:
+            none[0] = MODEL_AXIS
+            return P(*none)
+    return P(*none)
+
+
+def param_specs(params: Any, model_size: int) -> Any:
+    """PartitionSpec pytree matching ``params``."""
+    def walk(tree, path=""):
+        if isinstance(tree, dict):
+            return {k: walk(v, f"{path}/{k}") for k, v in tree.items()}
+        return _spec_for(path, np.ndim(tree), model_size, np.shape(tree))
+
+    return walk(params)
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Place a parameter pytree on the mesh under the TP rules (replicated
+    when the model axis is 1 — the single-chip and pure-DP cases)."""
+    model_size = mesh.shape[MODEL_AXIS]
+    specs = param_specs(params, model_size)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )

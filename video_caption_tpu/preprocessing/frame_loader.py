@@ -1,0 +1,74 @@
+"""Frame directory -> normalized video array [1,T,3,H,W].
+
+Bit-compatible with the reference loader (core/preprocessing/
+frame_loader.py:19-49), since caption parity depends on the exact pixels:
+
+- frames are ``frame_*.jpg`` sorted lexicographically,
+- stride sampling ``files[::max(len//T, 1)][:T]``,
+- PIL bilinear resize to (image_size, image_size) — torchvision's
+  ``transforms.Resize`` defaults to bilinear with antialias, which for PIL
+  inputs is exactly ``Image.resize((W,H), BILINEAR)``,
+- scale to [0,1] then ImageNet mean/std normalization in fp32.
+
+The host side stays numpy; the device sees one [1,T,3,H,W] fp32 transfer
+(the reference's CPU->GPU boundary, SURVEY §3.1 device boundary #2).
+"""
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import List, Sequence, Union
+
+import numpy as np
+from PIL import Image
+
+log = logging.getLogger(__name__)
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def list_frames(frames_dir: Union[str, Path]) -> List[Path]:
+    """Frame files in the canonical preprocessed-dataset format."""
+    return sorted(Path(frames_dir).glob("frame_*.jpg"))
+
+
+def sample_frame_paths(files: Sequence[Path], num_frames: int) -> List[Path]:
+    """Stride sampling identical to the reference (frame_loader.py:31-32)."""
+    step = max(len(files) // num_frames, 1)
+    return list(files[::step][:num_frames])
+
+
+def load_image(path: Union[str, Path], image_size: int) -> np.ndarray:
+    """One frame -> [3,H,W] fp32, ImageNet-normalized."""
+    with Image.open(path) as img:
+        rgb = img.convert("RGB").resize((image_size, image_size), Image.BILINEAR)
+        arr = np.asarray(rgb, np.float32) / 255.0          # [H,W,3]
+    arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+    return arr.transpose(2, 0, 1)
+
+
+def load_video_array(
+    frames_dir: Union[str, Path],
+    num_frames: int = 8,
+    image_size: int = 224,
+    pad_to_num_frames: bool = True,
+) -> np.ndarray:
+    """frames_dir -> [1,T,3,H,W] fp32 numpy (reference: load_video_tensor).
+
+    When fewer than ``num_frames`` frames exist, the tail frame repeats so the
+    device program keeps a static shape (the reference lets T shrink, which
+    would retrigger XLA compilation per video here).
+    """
+    frames_dir = Path(frames_dir)
+    files = list_frames(frames_dir)
+    if not files:
+        raise FileNotFoundError(f"No frame_*.jpg files found under {frames_dir}")
+    picks = sample_frame_paths(files, num_frames)
+    imgs = [load_image(p, image_size) for p in picks]
+    if pad_to_num_frames:
+        while len(imgs) < num_frames:
+            imgs.append(imgs[-1])
+    video = np.stack(imgs, axis=0)[None]
+    log.info("frames_dir=%s total=%d sampled=%d", frames_dir, len(files), len(picks))
+    return video
