@@ -11,6 +11,17 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# XLA:CPU's default matmul runs in reduced (bf16-like) precision, which is
+# far too loose for token-level parity tests (observed 6e-2 error on a tiny
+# fp32 matmul). Force full fp32 matmuls under test; the production TPU path
+# manages precision explicitly via its dtype policy.
+jax.config.update("jax_default_matmul_precision", "highest")
+# The ambient TPU plugin overrides JAX_PLATFORMS; pin the platform through
+# the config knob, plus 8 virtual CPU devices for multi-chip sharding tests.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 import jax.numpy as jnp  # noqa: E402
 import pytest  # noqa: E402
 

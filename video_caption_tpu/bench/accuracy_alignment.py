@@ -1,0 +1,99 @@
+"""Accuracy alignment between execution paths — the check the reference
+reserved but never implemented (core/scripts/accuracy_alignment.py:5,
+model_loader.py:46-48 "torch vs optimized backend comparison").
+
+Here the compared backends are real: for each pipeline stage, the
+**interpreter path** (eager JAX, fp32, Pallas off) is the golden reference
+and the **compiled paths** (jit bf16 policy, Pallas kernels on) must agree
+within stage-appropriate tolerances. Run on any platform; on TPU this is
+the deployment-accuracy gate.
+
+Usage: python -m video_caption_tpu.bench.accuracy_alignment [--image_size 224]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def check_alignment(image_size: int = 224, num_frames: int = 4, seed: int = 0) -> Dict:
+    from video_caption_tpu.models import caption_model as cm
+    from video_caption_tpu.models import gpt2 as g2
+    from video_caption_tpu.models import vit as vt
+
+    results: Dict[str, Dict] = {}
+    rng = jax.random.PRNGKey(seed)
+
+    base_vit = vt.ViTConfig(image_size=image_size, dtype=jnp.float32, use_pallas_pool=False)
+    base_gpt = g2.GPT2Config(dtype=jnp.float32)
+    golden_cfg = cm.CaptionModelConfig(vit=base_vit, gpt2=base_gpt, use_pallas_projector=False)
+    params = cm.init_caption_model(rng, golden_cfg)
+    video = jax.random.normal(jax.random.PRNGKey(1), (1, num_frames, 3, image_size, image_size))
+
+    with jax.disable_jit():
+        golden_emb = cm.encode_video(params, video, golden_cfg)
+        golden_prefix = cm.video_to_prefix(params, video, golden_cfg)
+
+    def record(name: str, got, ref, tol: float):
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32))))
+        scale = float(jnp.max(jnp.abs(ref)) + 1e-9)
+        rel = err / scale
+        results[name] = {"max_abs_err": err, "rel_err": rel, "tol": tol, "ok": rel <= tol}
+        log.info("%-28s rel_err=%.2e (tol %.0e) %s", name, rel, tol,
+                 "OK" if rel <= tol else "FAIL")
+
+    # 1. jit fp32 vs eager fp32 — must be tight
+    emb_jit = jax.jit(lambda p, v: cm.encode_video(p, v, golden_cfg))(params, video)
+    record("encoder jit-fp32 vs eager", emb_jit, golden_emb, 1e-3)
+
+    # 2. bf16 compiled policy vs fp32 golden — deployment numerics
+    bf16_cfg = dataclasses.replace(
+        golden_cfg, vit=dataclasses.replace(base_vit, dtype=jnp.bfloat16),
+        gpt2=dataclasses.replace(base_gpt, dtype=jnp.bfloat16),
+    )
+    emb_bf16 = jax.jit(lambda p, v: cm.encode_video(p, v, bf16_cfg))(params, video)
+    record("encoder bf16 vs fp32", emb_bf16, golden_emb, 5e-2)
+
+    # 3. pallas kernels vs XLA path
+    pallas_cfg = dataclasses.replace(
+        golden_cfg, vit=dataclasses.replace(base_vit, use_pallas_pool=True),
+        use_pallas_projector=True,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    try:
+        if jax.default_backend() == "tpu":
+            prefix_pallas = jax.jit(lambda p, v: cm.video_to_prefix(p, v, pallas_cfg))(params, video)
+        else:
+            with pltpu.force_tpu_interpret_mode():
+                prefix_pallas = cm.video_to_prefix(params, video, pallas_cfg)
+        record("pallas ops vs XLA", prefix_pallas, golden_prefix, 1e-3)
+    except Exception as exc:  # pragma: no cover
+        results["pallas ops vs XLA"] = {"ok": False, "error": str(exc)}
+
+    results["all_ok"] = all(v.get("ok") for v in results.values() if isinstance(v, dict))
+    return results
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, force=True)
+    p = argparse.ArgumentParser()
+    p.add_argument("--image_size", type=int, default=64)
+    p.add_argument("--num_frames", type=int, default=2)
+    args = p.parse_args(argv)
+    results = check_alignment(args.image_size, args.num_frames)
+    print(json.dumps(results, indent=1))
+    return 0 if results["all_ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -144,8 +144,10 @@ def beam_search(
     def step(carry, t):
         last_logits, cache, valid, beam_scores, generated, fin_scores, fin_seqs = carry
         flat_gen = generated.reshape(b * k, n)
-        logits = _process_logits(last_logits, flat_gen, t, dp)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # [B*K, V]
+        # HF beam semantics: processors run on LOG-SOFTMAX scores (greedy runs
+        # them on raw logits) — order matters for repetition penalty.
+        logp = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)  # [B*K, V]
+        logp = _process_logits(logp, flat_gen, t, dp)
         v = logp.shape[-1]
         cand = beam_scores.reshape(b * k, 1) + logp
         cand = cand.reshape(b, k * v)

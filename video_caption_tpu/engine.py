@@ -31,7 +31,7 @@ from video_caption_tpu.datatypes import CaptionCandidates, InferenceResult
 from video_caption_tpu.decode.generate import DecodeParams, generate
 from video_caption_tpu.decode.presets import preset_to_kwargs
 from video_caption_tpu.decode.tokenizer import get_tokenizer
-from video_caption_tpu.env import assert_core_runtime_ready
+from video_caption_tpu.env import assert_core_runtime_ready, enable_compilation_cache
 from video_caption_tpu.memory import MemoryManager
 from video_caption_tpu.models import caption_model as cm
 from video_caption_tpu.models import gpt2 as g2
@@ -89,6 +89,7 @@ class InferenceEngine:
     def __init__(self, config: InferenceConfig, params=None, seed: int = 0,
                  model_cfg: Optional[cm.CaptionModelConfig] = None):
         assert_core_runtime_ready()
+        enable_compilation_cache()
         self.config = config
         self.memory = MemoryManager(config.memory)
         self.model_cfg = model_cfg or model_config_from_inference(config)

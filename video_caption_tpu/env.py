@@ -6,6 +6,7 @@ the reference's CUDA availability probe.
 from __future__ import annotations
 
 import importlib
+import os
 from typing import Iterable
 
 
@@ -46,6 +47,31 @@ def assert_server_runtime_ready() -> None:
 
 def assert_frontend_runtime_ready() -> None:
     _assert_importable(_FRONTEND_DEPS, "frontend")
+
+
+_CACHE_ENABLED = False
+
+
+def enable_compilation_cache(path: str = "") -> None:
+    """Persistent XLA compilation cache: compiled executables survive process
+    restarts, so a restarted server skips the multi-minute cold compile.
+    This is the XLA analog of the reference's reserved TensorRT engine files
+    (core/trt/build_engine.py)."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    import jax
+
+    path = path or os.environ.get(
+        "VIDEO_CAPTION_COMPILE_CACHE", os.path.expanduser("~/.cache/video_caption_tpu/xla")
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _CACHE_ENABLED = True
+    except Exception:  # pragma: no cover - older jax without the knob
+        pass
 
 
 def device_summary() -> dict:
