@@ -1,0 +1,47 @@
+"""Native C++ frame loader: build, parity vs the PIL reference path, and
+fallback contract."""
+import numpy as np
+import pytest
+from PIL import Image
+
+from video_caption_tpu.native.loader import load_frames_native, native_available
+from video_caption_tpu.preprocessing.frame_loader import load_image, load_video_array
+
+
+@pytest.fixture(scope="module")
+def jpeg_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("jpegs")
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        h, w = (120, 160) if i % 2 else (240, 320)
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(
+            d / f"frame_{i:05d}.jpg", quality=95
+        )
+    return d
+
+
+@pytest.mark.skipif(not native_available(), reason="no g++/libjpeg")
+def test_native_matches_pil(jpeg_dir):
+    paths = sorted(jpeg_dir.glob("frame_*.jpg"))
+    native = load_frames_native(paths, 224)
+    assert native is not None and native.shape == (6, 3, 224, 224)
+    pil = np.stack([load_image(p, 224) for p in paths])
+    # JPEG decode is bit-identical (both use libjpeg); resampling differs by
+    # fixed-point (PIL) vs float (native) rounding only.
+    err = np.abs(native - pil).max()
+    assert err < 0.05, f"max abs err {err}"
+    assert np.mean(np.abs(native - pil)) < 0.01
+
+
+@pytest.mark.skipif(not native_available(), reason="no g++/libjpeg")
+def test_native_fails_gracefully_on_bad_file(tmp_path):
+    bad = tmp_path / "frame_00001.jpg"
+    bad.write_bytes(b"not a jpeg")
+    assert load_frames_native([bad], 32) is None
+
+
+def test_load_video_array_native_toggle(jpeg_dir):
+    a = load_video_array(jpeg_dir, num_frames=4, image_size=64, use_native=True)
+    b = load_video_array(jpeg_dir, num_frames=4, image_size=64, use_native=False)
+    assert a.shape == b.shape == (1, 4, 3, 64, 64)
+    assert np.abs(a - b).max() < 0.05

@@ -1,0 +1,196 @@
+// Native frame loader: JPEG decode (libjpeg) + antialiased bilinear resize
+// (PIL's triangle-filter resampling algorithm) + ImageNet normalization,
+// multi-threaded across frames.
+//
+// This is the TPU-framework counterpart of the reference's native layer: the
+// reference embeds CUDA kernels for its device-side hot ops
+// (core/operators/cupy_*.py); on TPU the device ops are Pallas/XLA, so the
+// native win is the HOST-side bottleneck — JPEG decode + resize, which
+// otherwise serializes on Python/PIL in the serving path
+// (core/preprocessing/frame_loader.py).
+//
+// Resampling matches PIL Resample.c semantics (triangle filter with support
+// scaled by the downscale ratio, computed in float) so outputs agree with
+// the PIL reference path to ~1e-2 absolute in normalized units; the PIL path
+// stays the parity reference (preprocessing/frame_loader.py).
+//
+// C ABI:
+//   int vct_load_frames(const char* const* paths, int n_frames,
+//                       int image_size, const float* mean3, const float* std3,
+//                       float* out /* [n,3,S,S] */, int n_threads);
+// Returns 0 on success, 1-based index of the first failing file otherwise.
+
+#include <cstdio>  // must precede jpeglib.h (it uses FILE without including stdio)
+
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <csetjmp>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jump;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jump, 1);
+}
+
+// Decode one JPEG into interleaved RGB8. Returns false on failure.
+bool decode_jpeg(const char* path, std::vector<unsigned char>& rgb,
+                 int& width, int& height) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return false;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(fp);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, fp);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  width = cinfo.output_width;
+  height = cinfo.output_height;
+  rgb.resize(static_cast<size_t>(width) * height * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    unsigned char* row = rgb.data() + static_cast<size_t>(cinfo.output_scanline) * width * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(fp);
+  return true;
+}
+
+// PIL-style coefficient table for one output axis.
+void build_coeffs(int in_size, int out_size, std::vector<int>& bounds,
+                  std::vector<std::vector<float>>& weights) {
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = std::max(scale, 1.0);
+  const double support = 1.0 * filterscale;  // triangle filter support = 1
+  const double ss = 1.0 / filterscale;
+  bounds.resize(out_size * 2);
+  weights.assign(out_size, {});
+  for (int i = 0; i < out_size; ++i) {
+    const double center = (i + 0.5) * scale;
+    int xmin = static_cast<int>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    const int n = xmax - xmin;
+    std::vector<float>& k = weights[i];
+    k.resize(n);
+    double total = 0.0;
+    for (int x = 0; x < n; ++x) {
+      double arg = (x + xmin - center + 0.5) * ss;
+      double w = std::fabs(arg) < 1.0 ? 1.0 - std::fabs(arg) : 0.0;
+      k[x] = static_cast<float>(w);
+      total += w;
+    }
+    if (total > 0.0) {
+      for (int x = 0; x < n; ++x) k[x] = static_cast<float>(k[x] / total);
+    }
+    bounds[i * 2] = xmin;
+    bounds[i * 2 + 1] = n;
+  }
+}
+
+// One frame: decode -> resize (horizontal then vertical, float) -> normalize
+// -> CHW float32.
+bool process_frame(const char* path, int out_size, const float* mean,
+                   const float* stdv, float* out) {
+  std::vector<unsigned char> rgb;
+  int w = 0, h = 0;
+  if (!decode_jpeg(path, rgb, w, h)) return false;
+
+  std::vector<int> xb, yb;
+  std::vector<std::vector<float>> xw, yw;
+  build_coeffs(w, out_size, xb, xw);
+  build_coeffs(h, out_size, yb, yw);
+
+  // horizontal pass: [h, out_size, 3] float
+  std::vector<float> tmp(static_cast<size_t>(h) * out_size * 3);
+  for (int y = 0; y < h; ++y) {
+    const unsigned char* src = rgb.data() + static_cast<size_t>(y) * w * 3;
+    float* dst = tmp.data() + static_cast<size_t>(y) * out_size * 3;
+    for (int x = 0; x < out_size; ++x) {
+      const int xmin = xb[x * 2], n = xb[x * 2 + 1];
+      const std::vector<float>& k = xw[x];
+      float acc[3] = {0.f, 0.f, 0.f};
+      for (int j = 0; j < n; ++j) {
+        const unsigned char* px = src + static_cast<size_t>(xmin + j) * 3;
+        acc[0] += k[j] * px[0];
+        acc[1] += k[j] * px[1];
+        acc[2] += k[j] * px[2];
+      }
+      dst[x * 3 + 0] = acc[0];
+      dst[x * 3 + 1] = acc[1];
+      dst[x * 3 + 2] = acc[2];
+    }
+  }
+
+  // vertical pass + normalize + CHW
+  const size_t plane = static_cast<size_t>(out_size) * out_size;
+  for (int y = 0; y < out_size; ++y) {
+    const int ymin = yb[y * 2], n = yb[y * 2 + 1];
+    const std::vector<float>& k = yw[y];
+    for (int x = 0; x < out_size; ++x) {
+      float acc[3] = {0.f, 0.f, 0.f};
+      for (int j = 0; j < n; ++j) {
+        const float* px = tmp.data() + (static_cast<size_t>(ymin + j) * out_size + x) * 3;
+        acc[0] += k[j] * px[0];
+        acc[1] += k[j] * px[1];
+        acc[2] += k[j] * px[2];
+      }
+      for (int c = 0; c < 3; ++c) {
+        float v = std::min(std::max(acc[c], 0.0f), 255.0f) / 255.0f;
+        out[c * plane + static_cast<size_t>(y) * out_size + x] =
+            (v - mean[c]) / stdv[c];
+      }
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" int vct_load_frames(const char* const* paths, int n_frames,
+                               int image_size, const float* mean3,
+                               const float* std3, float* out, int n_threads) {
+  if (n_frames <= 0) return 0;
+  if (n_threads <= 0) n_threads = 1;
+  n_threads = std::min(n_threads, n_frames);
+  const size_t frame_elems = 3ull * image_size * image_size;
+  std::atomic<int> next(0), failed(0);
+
+  auto worker = [&]() {
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n_frames || failed.load()) break;
+      if (!process_frame(paths[i], image_size, mean3, std3,
+                         out + static_cast<size_t>(i) * frame_elems)) {
+        int expect = 0;
+        failed.compare_exchange_strong(expect, i + 1);
+      }
+    }
+  };
+
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  return failed.load();
+}

@@ -40,25 +40,29 @@ def _pool_kernel(x_ref, out_ref, *, frames: int, gap: bool):
         pooled = jnp.mean(x[:, 1:, :], axis=(0, 1), keepdims=False)
     else:
         pooled = jnp.mean(x[:, 0, :], axis=0)
-    out_ref[:] = pooled[None, :].astype(out_ref.dtype)
+    out_ref[:] = pooled[None, None, :].astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("batch", "frames", "mode"))
 def _fused_pool(tokens: jax.Array, batch: int, frames: int, mode: str) -> jax.Array:
     bt, s, h = tokens.shape
     kernel = partial(_pool_kernel, frames=frames, gap=(mode == "gap"))
-    return pl.pallas_call(
+    # Output is [B, 1, H] so each program's block (1, 1, H) has its last two
+    # dims equal to the array's — the Mosaic block-shape rule; a (1, H) block
+    # of a [B, H] array is rejected when B > 1.
+    out = pl.pallas_call(
         kernel,
         grid=(batch,),
         in_specs=[
             pl.BlockSpec((frames, s, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((1, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, h), tokens.dtype),
+        out_specs=pl.BlockSpec((1, 1, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, 1, h), tokens.dtype),
         cost_estimate=pl.CostEstimate(
             flops=bt * s * h, bytes_accessed=tokens.size * tokens.dtype.itemsize, transcendentals=0
         ),
     )(tokens)
+    return out[:, 0, :]
 
 
 def fused_pool_temporal(

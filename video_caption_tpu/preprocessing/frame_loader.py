@@ -16,6 +16,7 @@ The host side stays numpy; the device sees one [1,T,3,H,W] fp32 transfer
 from __future__ import annotations
 
 import logging
+import os
 from pathlib import Path
 from typing import List, Sequence, Union
 
@@ -48,27 +49,44 @@ def load_image(path: Union[str, Path], image_size: int) -> np.ndarray:
     return arr.transpose(2, 0, 1)
 
 
+_USE_NATIVE = os.environ.get("VIDEO_CAPTION_NATIVE_LOADER", "1").strip().lower() not in (
+    "0", "false", "no", "off",
+)
+
+
 def load_video_array(
     frames_dir: Union[str, Path],
     num_frames: int = 8,
     image_size: int = 224,
     pad_to_num_frames: bool = True,
+    use_native: bool = _USE_NATIVE,
 ) -> np.ndarray:
     """frames_dir -> [1,T,3,H,W] fp32 numpy (reference: load_video_tensor).
 
     When fewer than ``num_frames`` frames exist, the tail frame repeats so the
     device program keeps a static shape (the reference lets T shrink, which
     would retrigger XLA compilation per video here).
+
+    The multithreaded C++ loader (native/frame_loader.cpp) is tried first;
+    PIL is the fallback and the parity reference (same graceful-fallback
+    contract as the reference's CuPy ops, cupy_vit_pool.py:139-152).
     """
     frames_dir = Path(frames_dir)
     files = list_frames(frames_dir)
     if not files:
         raise FileNotFoundError(f"No frame_*.jpg files found under {frames_dir}")
     picks = sample_frame_paths(files, num_frames)
-    imgs = [load_image(p, image_size) for p in picks]
-    if pad_to_num_frames:
-        while len(imgs) < num_frames:
-            imgs.append(imgs[-1])
-    video = np.stack(imgs, axis=0)[None]
+
+    imgs_arr = None
+    if use_native:
+        from video_caption_tpu.native.loader import load_frames_native
+
+        imgs_arr = load_frames_native(picks, image_size)
+    if imgs_arr is None:
+        imgs_arr = np.stack([load_image(p, image_size) for p in picks])
+    if pad_to_num_frames and len(picks) < num_frames:
+        pad = np.repeat(imgs_arr[-1:], num_frames - len(picks), axis=0)
+        imgs_arr = np.concatenate([imgs_arr, pad], axis=0)
+    video = imgs_arr[None]
     log.info("frames_dir=%s total=%d sampled=%d", frames_dir, len(files), len(picks))
     return video
