@@ -54,18 +54,32 @@ def _process_logits(
 
 
 def _prefill(
-    gpt2_params, gpt2_cfg: g2.GPT2Config, inputs_embeds: jax.Array, max_len: int
-) -> Tuple[jax.Array, g2.Cache, jax.Array]:
-    """Run the prompt through the model; returns (last-token logits, cache, valid)."""
+    gpt2_params,
+    gpt2_cfg: g2.GPT2Config,
+    inputs_embeds: jax.Array,
+    max_len: int,
+    prefill_mask: Optional[jax.Array] = None,   # [B, S0]; 1 = real token
+) -> Tuple[jax.Array, g2.Cache, jax.Array, jax.Array]:
+    """Run the prompt through the model.
+
+    ``prefill_mask`` enables LEFT-padded batching of prompts with different
+    lengths (the multi-preset engine path): pad columns are excluded from
+    attention and position ids count only real tokens. Returns
+    (last-token logits, cache, valid, row_lengths)."""
     b, s0, _ = inputs_embeds.shape
     cache = g2.init_cache(gpt2_cfg, b, max_len)
+    if prefill_mask is None:
+        mask = jnp.ones((b, s0), jnp.int32)
+    else:
+        mask = prefill_mask.astype(jnp.int32)
     valid = jnp.zeros((b, max_len), jnp.int32)
-    valid = jax.lax.dynamic_update_slice(valid, jnp.ones((b, s0), jnp.int32), (0, 0))
-    positions = jnp.broadcast_to(jnp.arange(s0, dtype=jnp.int32), (b, s0))
+    valid = jax.lax.dynamic_update_slice(valid, mask, (0, 0))
+    positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0).astype(jnp.int32)
     logits, cache = g2.gpt2_forward(
         gpt2_params, inputs_embeds, positions, valid, cache, jnp.int32(0), gpt2_cfg
     )
-    return logits[:, -1, :], cache, valid
+    row_lengths = jnp.sum(mask, axis=1).astype(jnp.int32)
+    return logits[:, -1, :], cache, valid, row_lengths
 
 
 def greedy_or_sample(
@@ -74,13 +88,16 @@ def greedy_or_sample(
     inputs_embeds: jax.Array,        # [B, S0, H]
     dp: DecodeParams,
     rng: Optional[jax.Array] = None,
+    prefill_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Greedy or top-p sampled decode. Returns generated ids [B, max_new_tokens]
     (EOS-padded after a row finishes, matching pad_token_id=eos)."""
     b, s0, _ = inputs_embeds.shape
     n = dp.max_new_tokens
     max_len = s0 + n
-    last_logits, cache, valid = _prefill(gpt2_params, gpt2_cfg, inputs_embeds, max_len)
+    last_logits, cache, valid, row_len = _prefill(
+        gpt2_params, gpt2_cfg, inputs_embeds, max_len, prefill_mask
+    )
     generated = jnp.full((b, n), dp.eos_id, jnp.int32)
     finished = jnp.zeros((b,), bool)
     if rng is None:
@@ -100,9 +117,10 @@ def greedy_or_sample(
         generated = jax.lax.dynamic_update_slice(generated, token[:, None], (0, t))
         finished = finished | (token == dp.eos_id)
 
-        # feed the token back for the next step's logits
+        # feed the token back for the next step's logits; position ids count
+        # only real tokens per row (left-padded batching)
         embeds = gpt2_params["wte"][token][:, None, :]
-        positions = jnp.broadcast_to((s0 + t).astype(jnp.int32), (b, 1))
+        positions = (row_len + t)[:, None]
         valid = jax.lax.dynamic_update_slice(valid, jnp.ones((b, 1), jnp.int32), (0, s0 + t))
         logits_new, cache = g2.gpt2_forward(
             gpt2_params, embeds, positions, valid, cache, s0 + t, gpt2_cfg
@@ -119,6 +137,7 @@ def beam_search(
     gpt2_cfg: g2.GPT2Config,
     inputs_embeds: jax.Array,        # [B, S0, H]
     dp: DecodeParams,
+    prefill_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Fixed-shape beam search (HF semantics: 2K candidate expansion, EOS
     candidates move to a finished-hypothesis set scored with length_penalty=1,
@@ -130,11 +149,14 @@ def beam_search(
     max_len = s0 + n
     neg_inf = jnp.float32(-1e9)
 
-    last_logits, cache, valid = _prefill(gpt2_params, gpt2_cfg, inputs_embeds, max_len)
+    last_logits, cache, valid, row_len = _prefill(
+        gpt2_params, gpt2_cfg, inputs_embeds, max_len, prefill_mask
+    )
     # tile to beams: batch-major flatten [B*K, ...]
     last_logits = jnp.repeat(last_logits, k, axis=0)
     cache = {key: jnp.repeat(val, k, axis=1) for key, val in cache.items()}
     valid = jnp.repeat(valid, k, axis=0)
+    row_len_flat = jnp.repeat(row_len, k, axis=0)       # [B*K]
 
     beam_scores = jnp.tile(jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), neg_inf)]), (b, 1))
     generated = jnp.full((b, k, n), dp.eos_id, jnp.int32)
@@ -189,9 +211,10 @@ def beam_search(
             valid, jnp.ones((b * k, 1), jnp.int32), (0, last_valid_pos)
         )
 
-        # next-step logits for the reordered beams
+        # next-step logits for the reordered beams; position ids count only
+        # real tokens per row (left-padded batching)
         embeds = gpt2_params["wte"][new_token.reshape(-1)][:, None, :]
-        positions = jnp.broadcast_to((s0 + t).astype(jnp.int32), (b * k, 1))
+        positions = (row_len_flat + t)[:, None]
         logits_new, cache = g2.gpt2_forward(
             gpt2_params, embeds, positions, valid, cache, s0 + t, gpt2_cfg
         )
@@ -220,8 +243,14 @@ def generate(
     inputs_embeds: jax.Array,
     dp: DecodeParams,
     rng: Optional[jax.Array] = None,
+    prefill_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Dispatch on the (static) decode policy. Returns ids [B, max_new_tokens]."""
+    """Dispatch on the (static) decode policy. Returns ids [B, max_new_tokens].
+
+    ``prefill_mask`` [B, S0] marks real (non-pad) prompt tokens for
+    LEFT-padded batching of different-length prompts in one program — the
+    multi-preset engine optimization (SURVEY §7 hard part 6).
+    """
     if dp.num_beams > 1:
-        return beam_search(gpt2_params, gpt2_cfg, inputs_embeds, dp)
-    return greedy_or_sample(gpt2_params, gpt2_cfg, inputs_embeds, dp, rng)
+        return beam_search(gpt2_params, gpt2_cfg, inputs_embeds, dp, prefill_mask)
+    return greedy_or_sample(gpt2_params, gpt2_cfg, inputs_embeds, dp, rng, prefill_mask)

@@ -144,6 +144,69 @@ class InferenceEngine:
         text = self.tokenizer.decode(np.asarray(out_ids[0]), skip_special_tokens=True)
         return clean_text(text.strip())
 
+    def _generate_group(self, prefix_rows: jax.Array, prompts, dp: DecodeParams):
+        """Decode R (prefix, prompt) rows under ONE policy as one left-padded
+        batch. ``prefix_rows`` is [R, P, H], ``prompts`` has length R.
+
+        TPU win over the reference's three sequential decodes
+        (core/engine.py:75-79): the single-token decode step is
+        weight-bandwidth bound (the whole GPT-2 reads per step), so batching
+        same-policy rows — presets of one video AND rows of many videos —
+        shares the weight traffic."""
+        ids_list = [self._tokenize_prompt(p or "") for p in prompts]
+        max_len = max(len(ids) for ids in ids_list)
+        g = len(prompts)
+        pad_id = self.tokenizer.pad_token_id
+        ids_arr = np.full((g, max_len), pad_id, np.int32)
+        for row, ids in enumerate(ids_list):
+            ids_arr[row, max_len - len(ids):] = ids       # LEFT padding
+        prefix_g = prefix_rows
+        tok_embeds = self.params["decoder"]["wte"][jnp.asarray(ids_arr)]
+        # row layout: [pad..., prefix, prompt] — pads at the far LEFT so every
+        # row ends at its last prompt token and decode steps stay aligned.
+        p = prefix_g.shape[1]
+        full = np.zeros((g, p + max_len), np.int32)
+        pieces = []
+        for row, ids in enumerate(ids_list):
+            pad = max_len - len(ids)
+            pieces.append(jnp.concatenate([
+                tok_embeds[row, :pad],                            # pad (masked)
+                prefix_g[row].astype(tok_embeds.dtype),           # visual prefix
+                tok_embeds[row, pad:],                            # prompt tokens
+            ], axis=0))
+            full[row, pad:] = 1
+        embeds = jnp.stack(pieces)
+        mask = jnp.asarray(full)
+        self._rng, sub = jax.random.split(self._rng)
+        out_ids = generate(self.params["decoder"], self.model_cfg.gpt2, embeds, dp, sub,
+                           prefill_mask=mask)
+        return np.asarray(out_ids)
+
+    def generate_presets(self, prefix: jax.Array, preset_prompt_pairs):
+        """Decode presets for V videos at once.
+
+        ``prefix`` is [V, P, H]; returns ``texts[v][i]`` — or a flat list when
+        V == 1 (the single-request path). Rows are grouped by identical
+        decode policy across BOTH presets and videos, so V videos with two
+        same-policy presets decode as one (2V)-row program.
+        """
+        v = prefix.shape[0]
+        groups: Dict[DecodeParams, list] = {}
+        for i, (preset, prompt) in enumerate(preset_prompt_pairs):
+            dp = self._decode_params(**preset_to_kwargs(preset))
+            groups.setdefault(dp, []).append(i)
+        texts = [[""] * len(preset_prompt_pairs) for _ in range(v)]
+        for dp, idxs in groups.items():
+            # row order: video-major — [(v0,i0), (v0,i1), (v1,i0), ...]
+            prompts = [preset_prompt_pairs[i][1] or "" for _ in range(v) for i in idxs]
+            prefix_rows = jnp.repeat(prefix, len(idxs), axis=0)
+            out_ids = self._generate_group(prefix_rows, prompts, dp)
+            for row in range(out_ids.shape[0]):
+                vid, slot = divmod(row, len(idxs))
+                text = self.tokenizer.decode(out_ids[row], skip_special_tokens=True)
+                texts[vid][idxs[slot]] = clean_text(text.strip())
+        return texts[0] if v == 1 else texts
+
     # ---- public API --------------------------------------------------------
 
     def infer(self, frames_dir: str) -> InferenceResult:
@@ -157,15 +220,42 @@ class InferenceEngine:
             )
             prefix = self.compute_prefix(video)
             c = self.config
-            candidates = CaptionCandidates(
-                s1=self.generate_once(prefix, c.prompt1, **preset_to_kwargs(c.preset1)),
-                s2=self.generate_once(prefix, c.prompt2, **preset_to_kwargs(c.preset2)),
-                s3=self.generate_once(prefix, c.prompt3, **preset_to_kwargs(c.preset3)),
-            )
+            texts = self.generate_presets(prefix, [
+                (c.preset1, c.prompt1), (c.preset2, c.prompt2), (c.preset3, c.prompt3),
+            ])
+            candidates = CaptionCandidates(s1=texts[0], s2=texts[1], s3=texts[2])
             best_key, best_text, _ = select_best(
                 [("S1", candidates.s1), ("S2", candidates.s2), ("S3", candidates.s3)]
             )
             return InferenceResult(candidates=candidates, best_key=best_key, best_text=best_text)
+
+    def infer_batch(self, frames_dirs) -> list:
+        """Batched multi-video inference — the in-process replacement for the
+        reference's subprocess-per-video batch tool (tools/batch_infer.py:
+        29-73): ONE encoder pass over all videos and grouped decodes whose
+        rows span videos x presets. Returns [InferenceResult, ...]."""
+        with self.memory.oom_guard():
+            videos = np.concatenate([
+                load_video_array(d, self.config.num_frames, self.config.image_size)
+                for d in frames_dirs
+            ])
+            prefix = self.compute_prefix(jnp.asarray(videos))
+            c = self.config
+            all_texts = self.generate_presets(prefix, [
+                (c.preset1, c.prompt1), (c.preset2, c.prompt2), (c.preset3, c.prompt3),
+            ])
+            if len(frames_dirs) == 1:
+                all_texts = [all_texts]
+            results = []
+            for texts in all_texts:
+                candidates = CaptionCandidates(s1=texts[0], s2=texts[1], s3=texts[2])
+                best_key, best_text, _ = select_best(
+                    [("S1", texts[0]), ("S2", texts[1]), ("S3", texts[2])]
+                )
+                results.append(InferenceResult(
+                    candidates=candidates, best_key=best_key, best_text=best_text
+                ))
+            return results
 
     def warmup(self, frames_dir: Optional[str] = None) -> float:
         """Trigger compilation of every program the request path needs."""
@@ -176,8 +266,7 @@ class InferenceEngine:
         )
         prefix = self.compute_prefix(video)
         c = self.config
-        for preset, prompt in (
-            (c.preset1, c.prompt1), (c.preset2, c.prompt2), (c.preset3, c.prompt3)
-        ):
-            self.generate_once(prefix, prompt, **preset_to_kwargs(preset))
+        self.generate_presets(prefix, [
+            (c.preset1, c.prompt1), (c.preset2, c.prompt2), (c.preset3, c.prompt3),
+        ])
         return time.perf_counter() - start

@@ -33,6 +33,7 @@ def batch_infer(
     num_frames: int = 8,
     limit: int = 0,
     split: Optional[str] = None,
+    batch_size: int = 8,
 ) -> List[Dict]:
     from video_caption_tpu.config import default_inference_config
     from video_caption_tpu.engine import InferenceEngine
@@ -45,33 +46,45 @@ def batch_infer(
     engine = InferenceEngine(config)
 
     records = json.loads(Path(ann_path).read_text(encoding="utf-8"))
-    rows: List[Dict] = []
+    todo = []
     for rec in records:
         if split and rec.get("split") and rec["split"] != split:
             continue
-        if limit and len(rows) >= limit:
+        if limit and len(todo) >= limit:
             break
         frames_dir = rec.get("frames_dir", "")
         if not frames_dir or not list_frames(frames_dir):
             log.warning("skipping %s: no frames", rec.get("video_id"))
             continue
+        todo.append(rec)
+
+    rows: List[Dict] = []
+    retry_engine = None
+    for start in range(0, len(todo), batch_size):
+        chunk = todo[start : start + batch_size]
         t0 = time.time()
-        result = engine.infer(frames_dir).to_api_dict()
-        if not any(result[k] for k in ("S1", "S2", "S3")):
-            # retry once with changed presets (reference tools/batch_infer.py:65-73)
-            retry_cfg = dataclasses.replace(
-                config, preset1="safe_sample", preset2="safe_sample", preset3="natural"
-            )
-            retry_engine = InferenceEngine(retry_cfg, params=engine.params,
-                                           model_cfg=engine.model_cfg)
-            result = retry_engine.infer(frames_dir).to_api_dict()
-        rows.append({
-            "video_id": rec.get("video_id", ""),
-            "S1": result["S1"], "S2": result["S2"], "S3": result["S3"],
-            "best_key": result["BEST"]["key"], "best_text": result["BEST"]["text"],
-            "latency_s": round(time.time() - t0, 3),
-            "ref_caption": (rec.get("captions") or [""])[0],
-        })
+        results = engine.infer_batch([rec["frames_dir"] for rec in chunk])
+        per_video_s = round((time.time() - t0) / max(len(chunk), 1), 3)
+        for rec, res in zip(chunk, results):
+            result = res.to_api_dict()
+            if not any(result[k] for k in ("S1", "S2", "S3")):
+                # retry once with changed presets (tools/batch_infer.py:65-73)
+                if retry_engine is None:
+                    retry_cfg = dataclasses.replace(
+                        config, preset1="safe_sample", preset2="safe_sample",
+                        preset3="natural",
+                    )
+                    retry_engine = InferenceEngine(
+                        retry_cfg, params=engine.params, model_cfg=engine.model_cfg
+                    )
+                result = retry_engine.infer(rec["frames_dir"]).to_api_dict()
+            rows.append({
+                "video_id": rec.get("video_id", ""),
+                "S1": result["S1"], "S2": result["S2"], "S3": result["S3"],
+                "best_key": result["BEST"]["key"], "best_text": result["BEST"]["text"],
+                "latency_s": per_video_s,
+                "ref_caption": (rec.get("captions") or [""])[0],
+            })
 
     out = Path(out_csv)
     out.parent.mkdir(parents=True, exist_ok=True)
@@ -94,8 +107,10 @@ def main(argv=None) -> int:
     p.add_argument("--num_frames", type=int, default=8)
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--split", default=None)
+    p.add_argument("--batch_size", type=int, default=8)
     args = p.parse_args(argv)
-    batch_infer(args.ann_path, args.out, args.ckpt, args.num_frames, args.limit, args.split)
+    batch_infer(args.ann_path, args.out, args.ckpt, args.num_frames, args.limit,
+                args.split, args.batch_size)
     return 0
 
 
