@@ -45,3 +45,19 @@ def test_load_video_array_native_toggle(jpeg_dir):
     b = load_video_array(jpeg_dir, num_frames=4, image_size=64, use_native=False)
     assert a.shape == b.shape == (1, 4, 3, 64, 64)
     assert np.abs(a - b).max() < 0.05
+
+
+def test_u8_path_matches_fp32_after_device_normalize(jpeg_dir):
+    """uint8 loader + on-device normalization must match the fp32 host path."""
+    import jax.numpy as jnp
+
+    from video_caption_tpu.models.vit import normalize_pixels
+    from video_caption_tpu.preprocessing.frame_loader import load_video_array_u8
+
+    u8 = load_video_array_u8(jpeg_dir, num_frames=4, image_size=64)
+    assert u8.dtype == np.uint8 and u8.shape == (1, 4, 3, 64, 64)
+    normalized = np.asarray(normalize_pixels(jnp.asarray(u8)))
+    fp32 = load_video_array(jpeg_dir, num_frames=4, image_size=64)
+    # u8 quantization costs at most half a pixel step / std
+    assert np.abs(normalized - fp32).max() < (0.5 / 255) / 0.2 + 0.05
+    assert np.mean(np.abs(normalized - fp32)) < 0.02

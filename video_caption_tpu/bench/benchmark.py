@@ -39,7 +39,7 @@ from video_caption_tpu.memory import MemoryManager, is_oom_error
 from video_caption_tpu.models import caption_model as cm
 from video_caption_tpu.models import gpt2 as g2
 from video_caption_tpu.ops.prefix_norm import apply_prefix_norm
-from video_caption_tpu.preprocessing.frame_loader import load_video_array
+from video_caption_tpu.preprocessing.frame_loader import load_video_array_u8
 
 log = logging.getLogger(__name__)
 
@@ -113,7 +113,7 @@ class StageBench:
 
         with jax.profiler.TraceAnnotation("Preprocessing"):
             t0 = time.perf_counter()
-            host = load_video_array(frames_dir, cfg.num_frames, cfg.image_size)
+            host = load_video_array_u8(frames_dir, cfg.num_frames, cfg.image_size)
             host = np.repeat(host, self.batch, axis=0)
             row["preprocess_ms"] = (time.perf_counter() - t0) * 1000
 

@@ -38,7 +38,7 @@ from video_caption_tpu.models import gpt2 as g2
 from video_caption_tpu.models import vit as vt
 from video_caption_tpu.postprocessing.candidate_ranker import select_best
 from video_caption_tpu.postprocessing.text_cleaner import clean_text
-from video_caption_tpu.preprocessing.frame_loader import load_video_array
+from video_caption_tpu.preprocessing.frame_loader import load_video_array_u8
 
 log = logging.getLogger(__name__)
 
@@ -212,7 +212,7 @@ class InferenceEngine:
     def infer(self, frames_dir: str) -> InferenceResult:
         with self.memory.oom_guard():
             video = jnp.asarray(
-                load_video_array(
+                load_video_array_u8(
                     frames_dir,
                     num_frames=self.config.num_frames,
                     image_size=self.config.image_size,
@@ -236,7 +236,7 @@ class InferenceEngine:
         rows span videos x presets. Returns [InferenceResult, ...]."""
         with self.memory.oom_guard():
             videos = np.concatenate([
-                load_video_array(d, self.config.num_frames, self.config.image_size)
+                load_video_array_u8(d, self.config.num_frames, self.config.image_size)
                 for d in frames_dirs
             ])
             prefix = self.compute_prefix(jnp.asarray(videos))
@@ -262,7 +262,7 @@ class InferenceEngine:
         start = time.perf_counter()
         video = jnp.zeros(
             (1, self.config.num_frames, 3, self.config.image_size, self.config.image_size),
-            jnp.float32,
+            jnp.uint8,
         )
         prefix = self.compute_prefix(video)
         c = self.config

@@ -180,8 +180,24 @@ def pool_temporal(tokens: jax.Array, batch: int, frames: int, cfg: ViTConfig) ->
     return jnp.mean(per_frame.reshape(batch, frames, -1), axis=1)
 
 
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+
+
+def normalize_pixels(video: jax.Array) -> jax.Array:
+    """uint8 [..,3,H,W] pixels -> ImageNet-normalized fp32 — the on-device
+    half of the preprocessing path: the host ships 1 byte/pixel and XLA fuses
+    this normalization into the patch-embed matmul."""
+    x = video.astype(jnp.float32) / 255.0
+    shape = (1,) * (video.ndim - 3) + (3, 1, 1)
+    return (x - IMAGENET_MEAN.reshape(shape)) / IMAGENET_STD.reshape(shape)
+
+
 def vit_encode(params: Params, video: jax.Array, cfg: ViTConfig) -> jax.Array:
-    """[B,T,3,H,W] -> [B, out_dim] fp32 (reference: video_encoder.py:288-326)."""
+    """[B,T,3,H,W] -> [B, out_dim] fp32 (reference: video_encoder.py:288-326).
+    Accepts fp32 normalized frames or raw uint8 (normalized on device)."""
+    if video.dtype == jnp.uint8:
+        video = normalize_pixels(video)
     b, t = video.shape[0], video.shape[1]
     frames = video.reshape(b * t, *video.shape[2:])
     tokens = vit_trunk(params, frames, cfg)

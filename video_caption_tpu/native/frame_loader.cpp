@@ -168,6 +168,86 @@ bool process_frame(const char* path, int out_size, const float* mean,
 
 }  // namespace
 
+namespace {
+
+// uint8 variant of process_frame: resized CHW pixels, no normalization —
+// the device program normalizes (keeps the host->device transfer at 1 byte
+// per pixel, 4x less wire traffic than fp32).
+bool process_frame_u8(const char* path, int out_size, unsigned char* out) {
+  std::vector<unsigned char> rgb;
+  int w = 0, h = 0;
+  if (!decode_jpeg(path, rgb, w, h)) return false;
+
+  std::vector<int> xb, yb;
+  std::vector<std::vector<float>> xw, yw;
+  build_coeffs(w, out_size, xb, xw);
+  build_coeffs(h, out_size, yb, yw);
+
+  std::vector<float> tmp(static_cast<size_t>(h) * out_size * 3);
+  for (int y = 0; y < h; ++y) {
+    const unsigned char* src = rgb.data() + static_cast<size_t>(y) * w * 3;
+    float* dst = tmp.data() + static_cast<size_t>(y) * out_size * 3;
+    for (int x = 0; x < out_size; ++x) {
+      const int xmin = xb[x * 2], n = xb[x * 2 + 1];
+      const std::vector<float>& k = xw[x];
+      float acc[3] = {0.f, 0.f, 0.f};
+      for (int j = 0; j < n; ++j) {
+        const unsigned char* px = src + static_cast<size_t>(xmin + j) * 3;
+        acc[0] += k[j] * px[0];
+        acc[1] += k[j] * px[1];
+        acc[2] += k[j] * px[2];
+      }
+      dst[x * 3 + 0] = acc[0];
+      dst[x * 3 + 1] = acc[1];
+      dst[x * 3 + 2] = acc[2];
+    }
+  }
+  const size_t plane = static_cast<size_t>(out_size) * out_size;
+  for (int y = 0; y < out_size; ++y) {
+    const int ymin = yb[y * 2], n = yb[y * 2 + 1];
+    const std::vector<float>& k = yw[y];
+    for (int x = 0; x < out_size; ++x) {
+      for (int c = 0; c < 3; ++c) {
+        float acc = 0.f;
+        for (int j = 0; j < n; ++j) {
+          acc += k[j] * tmp[(static_cast<size_t>(ymin + j) * out_size + x) * 3 + c];
+        }
+        float v = std::min(std::max(acc, 0.0f), 255.0f);
+        out[c * plane + static_cast<size_t>(y) * out_size + x] =
+            static_cast<unsigned char>(v + 0.5f);
+      }
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" int vct_load_frames_u8(const char* const* paths, int n_frames,
+                                  int image_size, unsigned char* out,
+                                  int n_threads) {
+  if (n_frames <= 0) return 0;
+  if (n_threads <= 0) n_threads = 1;
+  n_threads = std::min(n_threads, n_frames);
+  const size_t frame_elems = 3ull * image_size * image_size;
+  std::atomic<int> next(0), failed(0);
+  auto worker = [&]() {
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n_frames || failed.load()) break;
+      if (!process_frame_u8(paths[i], image_size,
+                            out + static_cast<size_t>(i) * frame_elems)) {
+        int expect = 0;
+        failed.compare_exchange_strong(expect, i + 1);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  return failed.load();
+}
+
 extern "C" int vct_load_frames(const char* const* paths, int n_frames,
                                int image_size, const float* mean3,
                                const float* std3, float* out, int n_threads) {

@@ -56,6 +56,11 @@ def _build_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
     ]
+    lib.vct_load_frames_u8.restype = ctypes.c_int
+    lib.vct_load_frames_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+    ]
     return lib
 
 
@@ -100,6 +105,32 @@ def load_frames_native(
     if rc != 0:
         last_backend, last_error = "pil-fallback", f"decode failed for {paths[rc - 1]}"
         log.warning("native loader failed on %s; falling back to PIL", paths[rc - 1])
+        return None
+    last_backend, last_error = "native", None
+    return out
+
+
+def load_frames_native_u8(
+    paths: Sequence, image_size: int, n_threads: int = 0,
+) -> Optional[np.ndarray]:
+    """paths -> [N,3,S,S] uint8 resized pixels (normalize on-device), or
+    None on failure. Quarter the host->device bytes of the fp32 path."""
+    global last_backend, last_error
+    lib = _get_lib()
+    if lib is None:
+        last_backend = "pil-fallback"
+        return None
+    encoded: List[bytes] = [str(p).encode() for p in paths]
+    arr = (ctypes.c_char_p * len(encoded))(*encoded)
+    out = np.empty((len(encoded), 3, image_size, image_size), np.uint8)
+    if n_threads <= 0:
+        n_threads = min(len(encoded), os.cpu_count() or 4)
+    rc = lib.vct_load_frames_u8(
+        arr, len(encoded), image_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), n_threads,
+    )
+    if rc != 0:
+        last_backend, last_error = "pil-fallback", f"decode failed for {paths[rc - 1]}"
         return None
     last_backend, last_error = "native", None
     return out

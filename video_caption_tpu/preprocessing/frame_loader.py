@@ -49,6 +49,13 @@ def load_image(path: Union[str, Path], image_size: int) -> np.ndarray:
     return arr.transpose(2, 0, 1)
 
 
+def load_image_u8(path: Union[str, Path], image_size: int) -> np.ndarray:
+    """One frame -> [3,H,W] uint8 resized pixels (no normalization)."""
+    with Image.open(path) as img:
+        rgb = img.convert("RGB").resize((image_size, image_size), Image.BILINEAR)
+    return np.asarray(rgb, np.uint8).transpose(2, 0, 1)
+
+
 _USE_NATIVE = os.environ.get("VIDEO_CAPTION_NATIVE_LOADER", "1").strip().lower() not in (
     "0", "false", "no", "off",
 )
@@ -90,3 +97,33 @@ def load_video_array(
     video = imgs_arr[None]
     log.info("frames_dir=%s total=%d sampled=%d", frames_dir, len(files), len(picks))
     return video
+
+
+def load_video_array_u8(
+    frames_dir: Union[str, Path],
+    num_frames: int = 8,
+    image_size: int = 224,
+    use_native: bool = _USE_NATIVE,
+) -> np.ndarray:
+    """frames_dir -> [1,T,3,H,W] uint8 (normalize on-device).
+
+    The serving fast path: 1 byte/pixel over the host->device link (4x less
+    wire traffic than the fp32 path); the device program applies the same
+    ImageNet normalization in fp32 before the encoder.
+    """
+    frames_dir = Path(frames_dir)
+    files = list_frames(frames_dir)
+    if not files:
+        raise FileNotFoundError(f"No frame_*.jpg files found under {frames_dir}")
+    picks = sample_frame_paths(files, num_frames)
+    imgs_arr = None
+    if use_native:
+        from video_caption_tpu.native.loader import load_frames_native_u8
+
+        imgs_arr = load_frames_native_u8(picks, image_size)
+    if imgs_arr is None:
+        imgs_arr = np.stack([load_image_u8(p, image_size) for p in picks])
+    if len(picks) < num_frames:
+        pad = np.repeat(imgs_arr[-1:], num_frames - len(picks), axis=0)
+        imgs_arr = np.concatenate([imgs_arr, pad], axis=0)
+    return imgs_arr[None]
