@@ -54,3 +54,48 @@ def test_prefix_projector_unaligned_uses_xla():
     out = prefix_projector.prefix_project(x, w, b)
     assert prefix_projector.last_backend == "xla-fallback"
     np.testing.assert_allclose(np.asarray(out), np.asarray(x @ w + b))
+
+
+def test_decode_attention_matches_xla():
+    from video_caption_tpu.ops.pallas import decode_attention as da
+
+    b, l, nh, hd = 2, 16, 4, 64
+    key = jax.random.PRNGKey(2)
+    q = jax.random.normal(key, (b, nh, hd), jnp.float32)
+    k = jax.random.normal(key, (b, l, nh, hd), jnp.float32)
+    v = jax.random.normal(key, (b, l, nh, hd), jnp.float32)
+    valid = jnp.concatenate([jnp.ones((b, 10), jnp.int32), jnp.zeros((b, 6), jnp.int32)], 1)
+    out = da.decode_attention(q, k, v, valid)
+    assert out is not None and da.last_backend == "pallas"
+
+    scale = hd ** -0.5
+    logits = jnp.einsum("bhd,blhd->bhl", q, k) * scale
+    logits = jnp.where(valid[:, None, :] > 0, logits, -1e30)
+    ref = jnp.einsum("bhl,blhd->bhd", jax.nn.softmax(logits, -1), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_decode_attention_bad_shape_falls_back():
+    from video_caption_tpu.ops.pallas import decode_attention as da
+
+    out = da.decode_attention(
+        jnp.zeros((2, 4, 64)), jnp.zeros((2, 16, 4, 64)), jnp.zeros((2, 16, 4, 64)),
+        jnp.zeros((2, 5), jnp.int32),  # mismatched L
+    )
+    assert out is None and da.last_backend == "xla-fallback"
+
+
+def test_gpt2_decode_with_pallas_attention_matches(tiny_params, tiny_cfg):
+    """End-to-end greedy decode with the fused decode-attention kernel must
+    produce identical tokens to the XLA path."""
+    import dataclasses
+
+    from video_caption_tpu.decode.generate import DecodeParams, generate
+
+    params = tiny_params["decoder"]
+    emb = jax.random.normal(jax.random.PRNGKey(5), (2, 4, tiny_cfg.gpt2.n_embd)) * 0.1
+    dp = DecodeParams(max_new_tokens=6, num_beams=1, min_new_tokens=2, eos_id=127)
+    base = np.asarray(generate(params, tiny_cfg.gpt2, emb, dp))
+    pallas_cfg = dataclasses.replace(tiny_cfg.gpt2, use_pallas_decode=True)
+    fused = np.asarray(generate(params, pallas_cfg, emb, dp))
+    np.testing.assert_array_equal(base, fused)

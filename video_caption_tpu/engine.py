@@ -51,7 +51,10 @@ def model_config_from_inference(config: InferenceConfig) -> cm.CaptionModelConfi
             dtype=dtype,
             use_pallas_pool=config.compile.use_pallas_fused_pool,
         ),
-        gpt2=g2.GPT2Config(dtype=dtype),
+        gpt2=g2.GPT2Config(
+            dtype=dtype,
+            use_pallas_decode=config.compile.use_pallas_decode_attention,
+        ),
         prefix_len=config.prefix_len,
         ln_scale=config.ln_scale,
         in_weight=config.in_weight,

@@ -41,6 +41,7 @@ class GPT2Config:
     n_head: int = 12
     dtype: Any = jnp.bfloat16
     ln_eps: float = 1e-5
+    use_pallas_decode: bool = False   # fused decode-step attention kernel
 
     @property
     def head_dim(self) -> int:
@@ -114,6 +115,20 @@ def _cached_attention(
 
     k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, offset, 0, 0))
     v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, offset, 0, 0))
+
+    if cfg.use_pallas_decode and s == 1:
+        # single-token step: valid_mask only marks columns <= current position,
+        # so it already encodes causality
+        from video_caption_tpu.ops.pallas.decode_attention import decode_attention
+
+        fused = decode_attention(
+            q[:, 0].astype(x.dtype), k_cache.astype(x.dtype), v_cache.astype(x.dtype),
+            valid_mask,
+        )
+        if fused is not None:
+            out = fused.reshape(b, 1, h)
+            out = out @ blk["proj_w"].astype(x.dtype) + blk["proj_b"].astype(x.dtype)
+            return out, k_cache, v_cache
 
     scale = cfg.head_dim ** -0.5
     logits = jnp.einsum(
