@@ -237,6 +237,33 @@ def beam_search(
 
 
 @partial(jax.jit, static_argnames=("gpt2_cfg", "dp"))
+def generate_prefixed(
+    gpt2_params,
+    gpt2_cfg: g2.GPT2Config,
+    prefix: jax.Array,        # [B, P, H] visual prefix embeddings
+    prompt_ids: jax.Array,    # [B, L] LEFT-padded prompt token ids
+    prompt_mask: jax.Array,   # [B, L] 1 = real prompt token
+    dp: DecodeParams,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """One-dispatch decode: wte lookup, prefix|prompt concat, prefill and the
+    whole scan run inside a single compiled program (eager embedding
+    construction costs a host round-trip per op on a tunneled TPU).
+
+    Layout per row is [prefix, pad..., prompt]; the pads sit BETWEEN prefix
+    and prompt but carry mask 0, which is attention- and position-equivalent
+    to left padding (positions are cumsum over the mask)."""
+    tok = gpt2_params["wte"][prompt_ids]
+    embeds = jnp.concatenate([prefix.astype(tok.dtype), tok], axis=1)
+    mask = jnp.concatenate(
+        [jnp.ones(prefix.shape[:2], jnp.int32), prompt_mask.astype(jnp.int32)], axis=1
+    )
+    if dp.num_beams > 1:
+        return beam_search(gpt2_params, gpt2_cfg, embeds, dp, mask)
+    return greedy_or_sample(gpt2_params, gpt2_cfg, embeds, dp, rng, mask)
+
+
+@partial(jax.jit, static_argnames=("gpt2_cfg", "dp"))
 def generate(
     gpt2_params,
     gpt2_cfg: g2.GPT2Config,

@@ -28,7 +28,7 @@ import numpy as np
 
 from video_caption_tpu.config import InferenceConfig
 from video_caption_tpu.datatypes import CaptionCandidates, InferenceResult
-from video_caption_tpu.decode.generate import DecodeParams, generate
+from video_caption_tpu.decode.generate import DecodeParams, generate, generate_prefixed
 from video_caption_tpu.decode.presets import preset_to_kwargs
 from video_caption_tpu.decode.tokenizer import get_tokenizer
 from video_caption_tpu.env import assert_core_runtime_ready, enable_compilation_cache
@@ -161,28 +161,15 @@ class InferenceEngine:
         g = len(prompts)
         pad_id = self.tokenizer.pad_token_id
         ids_arr = np.full((g, max_len), pad_id, np.int32)
+        mask_arr = np.zeros((g, max_len), np.int32)
         for row, ids in enumerate(ids_list):
             ids_arr[row, max_len - len(ids):] = ids       # LEFT padding
-        prefix_g = prefix_rows
-        tok_embeds = self.params["decoder"]["wte"][jnp.asarray(ids_arr)]
-        # row layout: [pad..., prefix, prompt] — pads at the far LEFT so every
-        # row ends at its last prompt token and decode steps stay aligned.
-        p = prefix_g.shape[1]
-        full = np.zeros((g, p + max_len), np.int32)
-        pieces = []
-        for row, ids in enumerate(ids_list):
-            pad = max_len - len(ids)
-            pieces.append(jnp.concatenate([
-                tok_embeds[row, :pad],                            # pad (masked)
-                prefix_g[row].astype(tok_embeds.dtype),           # visual prefix
-                tok_embeds[row, pad:],                            # prompt tokens
-            ], axis=0))
-            full[row, pad:] = 1
-        embeds = jnp.stack(pieces)
-        mask = jnp.asarray(full)
+            mask_arr[row, max_len - len(ids):] = 1
         self._rng, sub = jax.random.split(self._rng)
-        out_ids = generate(self.params["decoder"], self.model_cfg.gpt2, embeds, dp, sub,
-                           prefill_mask=mask)
+        out_ids = generate_prefixed(
+            self.params["decoder"], self.model_cfg.gpt2, prefix_rows,
+            jnp.asarray(ids_arr), jnp.asarray(mask_arr), dp, sub,
+        )
         return np.asarray(out_ids)
 
     def generate_presets(self, prefix: jax.Array, preset_prompt_pairs):
