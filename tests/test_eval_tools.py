@@ -199,3 +199,19 @@ def test_parse_annotations_and_split():
     split = default_split([f"v{i}" for i in range(20)])
     assert set(split.values()) <= {"train", "val", "test"}
     assert list(split.values()).count("train") >= 14
+
+
+def test_alias_frame_names(tmp_path):
+    from PIL import Image
+
+    from video_caption_tpu.scripts.check_coverage import alias_frame_names
+
+    d = tmp_path / "weird"
+    d.mkdir()
+    for i in range(3):
+        Image.new("RGB", (8, 8)).save(d / f"img_{i:03d}.jpg")
+    created = alias_frame_names(str(d))
+    assert created == 3
+    assert len(list(d.glob("frame_*.jpg"))) == 3
+    # idempotent: canonical names already exist
+    assert alias_frame_names(str(d)) == 0

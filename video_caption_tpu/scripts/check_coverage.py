@@ -64,6 +64,32 @@ def repair_annotations(
     return stats
 
 
+def alias_frame_names(frames_dir: str, pattern: str = "*.jpg") -> int:
+    """Hardlink non-canonical frame files to ``frame_%05d.jpg`` names
+    (reference: scripts/msvd_compat_frame_names*.py — frame-name aliasing via
+    hardlink so the canonical ``frame_*.jpg`` glob finds them)."""
+    d = Path(frames_dir)
+    existing = set(p.name for p in d.glob("frame_*.jpg"))
+    if existing:
+        return 0
+    created = 0
+    for i, src in enumerate(sorted(d.glob(pattern)), start=1):
+        if src.name.startswith("frame_"):
+            continue
+        dst = d / f"frame_{i:05d}.jpg"
+        if not dst.exists():
+            try:
+                dst.hardlink_to(src)
+            except OSError:
+                import shutil
+
+                shutil.copy2(src, dst)
+            created += 1
+    if created:
+        log.info("aliased %d frames in %s", created, d)
+    return created
+
+
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, force=True)
     p = argparse.ArgumentParser()

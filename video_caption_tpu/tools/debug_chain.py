@@ -81,15 +81,51 @@ def inspect_ckpt(path: str) -> None:
         print(f"  [{'ok' if present else 'MISSING'}] family {fam}")
 
 
+def debug_three_samples(ann_path: str, ckpt: str = "") -> None:
+    """Caption 3 distinct samples and flag identical outputs — catches the
+    'fixed input / cached features / hard length caps' failure modes
+    (reference: experiments/debug_three_samples.py:4-10)."""
+    import json
+    from pathlib import Path
+
+    from video_caption_tpu.config import default_inference_config
+    from video_caption_tpu.engine import InferenceEngine
+    from video_caption_tpu.preprocessing.frame_loader import list_frames
+
+    records = [
+        r for r in json.loads(Path(ann_path).read_text(encoding="utf-8"))
+        if r.get("frames_dir") and list_frames(r["frames_dir"])
+    ][:3]
+    if len(records) < 2:
+        print("need at least 2 records with frames")
+        return
+    overrides = {"ckpt": ckpt} if ckpt else {}
+    engine = InferenceEngine(default_inference_config(**overrides))
+    outputs = []
+    for rec in records:
+        res = engine.infer(rec["frames_dir"]).to_api_dict()
+        outputs.append(res["BEST"]["text"])
+        print(f"{rec['video_id']}: {res['BEST']['text']}")
+    if len(set(outputs)) == 1:
+        print("WARNING: all samples produced the SAME caption — check for "
+              "fixed input / cached features / degenerate decoding")
+    else:
+        print(f"ok: {len(set(outputs))}/{len(outputs)} distinct captions")
+
+
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, force=True)
     p = argparse.ArgumentParser()
     p.add_argument("--frames_dir", default="")
     p.add_argument("--ckpt", default="")
     p.add_argument("--inspect_ckpt", default="")
+    p.add_argument("--three_samples", default="",
+                   help="annotations.json path: caption 3 samples, flag duplicates")
     args = p.parse_args(argv)
     if args.inspect_ckpt:
         inspect_ckpt(args.inspect_ckpt)
+    if args.three_samples:
+        debug_three_samples(args.three_samples, args.ckpt)
     if args.frames_dir:
         run_chain(args.frames_dir, args.ckpt)
     return 0
