@@ -1,0 +1,104 @@
+"""Request-coalescing batch queue for serving.
+
+The reference serializes requests one-at-a-time through a Semaphore(1)
+(server/services/task_manager.py) because one 4GB GPU holds one request. On
+TPU the decode step is weight-bandwidth bound, so co-scheduling concurrent
+requests into ONE ``engine.infer_batch`` call shares the GPT-2 weight
+traffic — throughput scales with batch at nearly flat latency (the
+"batched encode+decode at fixed QPS" serving configuration in
+BASELINE.json).
+
+A background worker drains the queue: it waits up to ``max_wait_ms`` for
+co-arriving requests (bounded added latency), then dispatches up to
+``max_batch`` of them as one device program. One queue per resident engine
+(engines are per-config, so batched requests always share a config).
+"""
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from concurrent.futures import Future
+from typing import List, Optional, Tuple
+
+log = logging.getLogger(__name__)
+
+
+class BatchingQueue:
+    def __init__(self, engine, max_batch: int = 8, max_wait_ms: float = 5.0):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._queue: "queue.Queue[Tuple[str, Future]]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ---- client API --------------------------------------------------------
+
+    def submit(self, frames_dir: str) -> Future:
+        fut: Future = Future()
+        self._queue.put((frames_dir, fut))
+        return fut
+
+    def infer(self, frames_dir: str):
+        """Blocking submit; raises whatever the engine raised."""
+        return self.submit(frames_dir).result()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._queue.put(("", None))  # wake the worker
+        self._worker.join(timeout=5)
+
+    # ---- worker ------------------------------------------------------------
+
+    def _collect(self) -> List[Tuple[str, Future]]:
+        item = self._queue.get()
+        if item[1] is None:
+            return []
+        batch = [item]
+        deadline = self.max_wait_s
+        while len(batch) < self.max_batch:
+            try:
+                nxt = self._queue.get(timeout=deadline)
+            except queue.Empty:
+                break
+            if nxt[1] is None:
+                break
+            batch.append(nxt)
+        return batch
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            dirs = [d for d, _ in batch]
+            try:
+                results = self.engine.infer_batch(dirs)
+                for (_, fut), res in zip(batch, results):
+                    fut.set_result(res)
+            except Exception as exc:
+                # a bad frames_dir poisons the whole batch; fall back to
+                # per-request execution so one 404 doesn't fail neighbors
+                log.info("batched inference failed (%s); retrying per-request", exc)
+                for d, fut in batch:
+                    try:
+                        fut.set_result(self.engine.infer(d))
+                    except Exception as single_exc:
+                        fut.set_exception(single_exc)
+
+
+_QUEUES = {}
+_QUEUES_LOCK = threading.Lock()
+
+
+def get_queue(engine, max_batch: int = 8, max_wait_ms: float = 5.0) -> BatchingQueue:
+    """One coalescing queue per resident engine."""
+    key = id(engine)
+    with _QUEUES_LOCK:
+        q = _QUEUES.get(key)
+        if q is None:
+            q = BatchingQueue(engine, max_batch, max_wait_ms)
+            _QUEUES[key] = q
+        return q

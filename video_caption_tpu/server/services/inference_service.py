@@ -46,6 +46,13 @@ def request_to_config(req: InferRequest) -> InferenceConfig:
     )
 
 
+import os
+
+_BATCH_SERVING = os.environ.get("VIDEO_CAPTION_BATCH_SERVING", "1").strip().lower() not in (
+    "0", "false", "no", "off",
+)
+
+
 class InferenceService:
     def infer(self, req: InferRequest) -> Dict:
         frames_dir = Path(req.frames_dir)
@@ -53,8 +60,15 @@ class InferenceService:
             raise FileNotFoundError(f"frames_dir not found: {frames_dir}")
         config = request_to_config(req)
         engine = MODEL_REGISTRY.get_engine(config)
-        with DEVICE_TASK_MANAGER.acquire():
-            result = engine.infer(str(frames_dir))
+        if _BATCH_SERVING:
+            # coalesce concurrent requests into one batched device program;
+            # the queue serializes device access, replacing the semaphore
+            from video_caption_tpu.server.services.batching_queue import get_queue
+
+            result = get_queue(engine).infer(str(frames_dir))
+        else:
+            with DEVICE_TASK_MANAGER.acquire():
+                result = engine.infer(str(frames_dir))
         return result.to_api_dict()
 
 
