@@ -208,16 +208,78 @@ class InferenceEngine:
                     image_size=self.config.image_size,
                 )
             )
-            prefix = self.compute_prefix(video)
-            c = self.config
-            texts = self.generate_presets(prefix, [
-                (c.preset1, c.prompt1), (c.preset2, c.prompt2), (c.preset3, c.prompt3),
-            ])
+            texts = self._infer_videos(video)[0]
             candidates = CaptionCandidates(s1=texts[0], s2=texts[1], s3=texts[2])
             best_key, best_text, _ = select_best(
                 [("S1", candidates.s1), ("S2", candidates.s2), ("S3", candidates.s3)]
             )
             return InferenceResult(candidates=candidates, best_key=best_key, best_text=best_text)
+
+    def _fused_infer_program(self):
+        """Build (lazily) ONE jitted program for the whole request:
+        video -> prefix -> every decode-policy group, single dispatch.
+
+        On a tunneled TPU each dispatch costs a host round-trip (~30ms
+        measured), so prefix + N group decodes as separate calls waste
+        N*30ms per request; fusing them into one program removes that.
+        Prompt ids/masks for the config's presets are baked in as constants.
+        """
+        if getattr(self, "_fused_program", None) is not None:
+            return self._fused_program
+        c = self.config
+        pairs = [(c.preset1, c.prompt1), (c.preset2, c.prompt2), (c.preset3, c.prompt3)]
+        groups: Dict[DecodeParams, list] = {}
+        for i, (preset, prompt) in enumerate(pairs):
+            dp = self._decode_params(**preset_to_kwargs(preset))
+            groups.setdefault(dp, []).append(i)
+        group_list = []
+        for dp, idxs in groups.items():
+            ids_list = [self._tokenize_prompt(pairs[i][1] or "") for i in idxs]
+            max_len = max(len(ids) for ids in ids_list)
+            ids_arr = np.full((len(idxs), max_len), self.tokenizer.pad_token_id, np.int32)
+            mask_arr = np.zeros((len(idxs), max_len), np.int32)
+            for row, ids in enumerate(ids_list):
+                ids_arr[row, max_len - len(ids):] = ids
+                mask_arr[row, max_len - len(ids):] = 1
+            group_list.append((dp, tuple(idxs), ids_arr, mask_arr))
+        model_cfg = self.model_cfg
+
+        from video_caption_tpu.decode import generate as gen
+
+        @jax.jit
+        def program(params, video, rng):
+            prefix = cm.video_to_prefix(params, video, model_cfg)     # [V,P,H]
+            v = prefix.shape[0]
+            outs = []
+            for dp, idxs, ids_arr, mask_arr in group_list:
+                rows = len(idxs)
+                prefix_rows = jnp.repeat(prefix, rows, axis=0)
+                ids = jnp.asarray(np.tile(ids_arr, (v, 1)))
+                mask = jnp.asarray(np.tile(mask_arr, (v, 1)))
+                rng, sub = jax.random.split(rng)
+                outs.append(gen.generate_prefixed(
+                    params["decoder"], model_cfg.gpt2, prefix_rows, ids, mask, dp, sub,
+                ))
+            return tuple(outs)
+
+        self._fused_program = (program, group_list, len(pairs))
+        return self._fused_program
+
+    def _infer_videos(self, video: jax.Array) -> list:
+        """video [V,T,3,H,W] (uint8) -> texts[v][preset_index] via the fused
+        single-dispatch program."""
+        program, group_list, n_pairs = self._fused_infer_program()
+        self._rng, sub = jax.random.split(self._rng)
+        outs = program(self.params, video, sub)
+        v = video.shape[0]
+        texts = [[""] * n_pairs for _ in range(v)]
+        for (dp, idxs, _, _), out in zip(group_list, outs):
+            arr = np.asarray(out)
+            for row in range(arr.shape[0]):
+                vid, slot = divmod(row, len(idxs))
+                text = self.tokenizer.decode(arr[row], skip_special_tokens=True)
+                texts[vid][idxs[slot]] = clean_text(text.strip())
+        return texts
 
     def infer_batch(self, frames_dirs) -> list:
         """Batched multi-video inference — the in-process replacement for the
@@ -229,13 +291,7 @@ class InferenceEngine:
                 load_video_array_u8(d, self.config.num_frames, self.config.image_size)
                 for d in frames_dirs
             ])
-            prefix = self.compute_prefix(jnp.asarray(videos))
-            c = self.config
-            all_texts = self.generate_presets(prefix, [
-                (c.preset1, c.prompt1), (c.preset2, c.prompt2), (c.preset3, c.prompt3),
-            ])
-            if len(frames_dirs) == 1:
-                all_texts = [all_texts]
+            all_texts = self._infer_videos(jnp.asarray(videos))
             results = []
             for texts in all_texts:
                 candidates = CaptionCandidates(s1=texts[0], s2=texts[1], s3=texts[2])
