@@ -310,9 +310,5 @@ class InferenceEngine:
             (1, self.config.num_frames, 3, self.config.image_size, self.config.image_size),
             jnp.uint8,
         )
-        prefix = self.compute_prefix(video)
-        c = self.config
-        self.generate_presets(prefix, [
-            (c.preset1, c.prompt1), (c.preset2, c.prompt2), (c.preset3, c.prompt3),
-        ])
+        self._infer_videos(video)
         return time.perf_counter() - start
