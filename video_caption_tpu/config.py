@@ -96,6 +96,12 @@ class CompileConfig:
     use_pallas_prefix_projector: bool = _env_bool("VIDEO_CAPTION_PALLAS_PROJ", True)
     use_pallas_decode_attention: bool = _env_bool("VIDEO_CAPTION_PALLAS_DECODE", False)
     donate_buffers: bool = True
+    fuse_request_program: bool = _env_bool("VIDEO_CAPTION_FUSE_REQUEST", False)
+    """One jitted program per request (prefix + every decode group) vs one
+    program per decode group with async dispatch. Measured on the tunneled
+    chip: separate async dispatches pipeline better (3.9 vs 2.8 captions/s);
+    on a directly-attached chip fusing may win — hence the knob."""
+    early_stop_decode: bool = _env_bool("VIDEO_CAPTION_EARLY_STOP", False)
 
 
 @dataclass(frozen=True)

@@ -38,6 +38,11 @@ class DecodeParams:
     repetition_penalty: float = 1.1
     min_new_tokens: int = 8
     eos_id: int = 50256
+    early_stop: bool = False
+    """Run the decode loop as a while_loop that exits when every row/beam is
+    finished. Saves steps with real weights + common EOS, but measured ~10%
+    slower per step than lax.scan on the tunneled chip — off by default;
+    token outputs are identical either way."""
 
     @property
     def do_sample(self) -> bool:
@@ -127,20 +132,22 @@ def greedy_or_sample(
         )
         return (logits_new[:, -1, :], cache, valid, generated, finished, rng), None
 
-    # while_loop (not scan) so fully-finished batches exit early — the
-    # reference's per-sample finished-mask semantics plus a whole-batch early
-    # stop (benchmark_baseline.py:212-224 keeps stepping; we don't have to)
-    def cond(state):
-        t, (_, _, _, _, finished, _) = state
-        return (t < n) & ~jnp.all(finished)
-
-    def body(state):
-        t, carry = state
-        carry, _ = step(carry, t)
-        return t + 1, carry
-
     carry = (last_logits, cache, valid, generated, finished, rng)
-    _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+    if dp.early_stop:
+        # while_loop exits once every row finished (per-sample finished-mask
+        # semantics of benchmark_baseline.py:212-224 plus a whole-batch stop)
+        def cond(state):
+            t, (_, _, _, _, fin, _) = state
+            return (t < n) & ~jnp.all(fin)
+
+        def body(state):
+            t, c = state
+            c, _ = step(c, t)
+            return t + 1, c
+
+        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+    else:
+        carry, _ = jax.lax.scan(step, carry, jnp.arange(n, dtype=jnp.int32))
     return carry[3]
 
 
@@ -236,24 +243,27 @@ def beam_search(
         )
         return carry, None
 
-    # HF is_done (early_stopping=False): a batch is done when its K finished
-    # hypotheses all beat the best still-running beam's attainable score
-    # (best_sum_logprobs / cur_len). Running log-probs only decrease, so
-    # stopping then is exact, and the while_loop exits early.
-    def cond(state):
-        t, carry = state
-        _, _, _, beam_scores, _, fin_scores, _ = carry
-        best_possible = jnp.max(beam_scores, axis=1) / jnp.maximum(t.astype(jnp.float32), 1.0)
-        done = jnp.min(fin_scores, axis=1) >= best_possible
-        return (t < n) & ~jnp.all(done)
-
-    def body(state):
-        t, carry = state
-        carry, _ = step(carry, t)
-        return t + 1, carry
-
     carry = (last_logits, cache, valid, beam_scores, generated, fin_scores, fin_seqs)
-    _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+    if dp.early_stop:
+        # HF is_done (early_stopping=False): a batch is done when its K
+        # finished hypotheses all beat the best running beam's attainable
+        # score (best_sum_logprobs / cur_len); log-probs only decrease, so
+        # stopping then is exact.
+        def cond(state):
+            t, c = state
+            _, _, _, bscores, _, fscores, _ = c
+            best_possible = jnp.max(bscores, axis=1) / jnp.maximum(t.astype(jnp.float32), 1.0)
+            done = jnp.min(fscores, axis=1) >= best_possible
+            return (t < n) & ~jnp.all(done)
+
+        def body(state):
+            t, c = state
+            c, _ = step(c, t)
+            return t + 1, c
+
+        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+    else:
+        carry, _ = jax.lax.scan(step, carry, jnp.arange(n, dtype=jnp.int32))
     _, _, _, beam_scores, generated, fin_scores, fin_seqs = carry
 
     # merge running (unfinished) beams, normalized by full length (HF finalize)

@@ -133,6 +133,7 @@ class InferenceEngine:
             repetition_penalty=decode_kwargs.get("repetition_penalty", 1.1),
             min_new_tokens=decode_kwargs.get("min_new_tokens", 8),
             eos_id=self.tokenizer.eos_token_id,
+            early_stop=self.config.compile.early_stop_decode,
         )
 
     def generate_once(self, prefix: jax.Array, prompt: str, **decode_kwargs) -> str:
@@ -266,11 +267,31 @@ class InferenceEngine:
         return self._fused_program
 
     def _infer_videos(self, video: jax.Array) -> list:
-        """video [V,T,3,H,W] (uint8) -> texts[v][preset_index] via the fused
-        single-dispatch program."""
+        """video [V,T,3,H,W] (uint8) -> texts[v][preset_index].
+
+        Two dispatch strategies (CompileConfig.fuse_request_program):
+        - fused: one jitted program for the whole request,
+        - unfused (default): prefix + one program per decode group, all
+          dispatched asynchronously before any result is materialized —
+          dispatches pipeline with each other and with host work, which
+          measures faster on the tunneled chip."""
         program, group_list, n_pairs = self._fused_infer_program()
         self._rng, sub = jax.random.split(self._rng)
-        outs = program(self.params, video, sub)
+        if self.config.compile.fuse_request_program:
+            outs = program(self.params, video, sub)
+        else:
+            prefix = self._prefix_fn(self.params, video)
+            v = video.shape[0]
+            outs = []
+            for dp, idxs, ids_arr, mask_arr in group_list:
+                prefix_rows = jnp.repeat(prefix, len(idxs), axis=0)
+                ids = jnp.asarray(np.tile(ids_arr, (v, 1)))
+                mask = jnp.asarray(np.tile(mask_arr, (v, 1)))
+                sub, key = jax.random.split(sub)
+                outs.append(generate_prefixed(
+                    self.params["decoder"], self.model_cfg.gpt2, prefix_rows,
+                    ids, mask, dp, key,
+                ))
         v = video.shape[0]
         texts = [[""] * n_pairs for _ in range(v)]
         for (dp, idxs, _, _), out in zip(group_list, outs):
