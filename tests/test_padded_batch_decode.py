@@ -118,3 +118,17 @@ def test_infer_batch_matches_single(tiny_cfg, tiny_params, tmp_path):
     singles = [engine.infer(d) for d in dirs]
     for b, s in zip(batched, singles):
         assert b.to_api_dict() == s.to_api_dict()
+
+
+@pytest.mark.parametrize("beams", [1, 3])
+def test_early_stop_matches_scan(decoder, beams):
+    """early_stop while_loop and the scan loop must emit identical tokens."""
+    import dataclasses
+
+    params, gcfg = decoder
+    rng = np.random.RandomState(3)
+    emb = jnp.asarray(rng.randn(2, 4, gcfg.n_embd).astype(np.float32) * 0.1)
+    dp = DecodeParams(max_new_tokens=8, num_beams=beams, min_new_tokens=2, eos_id=127)
+    base = np.asarray(generate(params, gcfg, emb, dp))
+    es = np.asarray(generate(params, gcfg, emb, dataclasses.replace(dp, early_stop=True)))
+    np.testing.assert_array_equal(base, es)

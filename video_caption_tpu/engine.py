@@ -308,10 +308,21 @@ class InferenceEngine:
         29-73): ONE encoder pass over all videos and grouped decodes whose
         rows span videos x presets. Returns [InferenceResult, ...]."""
         with self.memory.oom_guard():
-            videos = np.concatenate([
-                load_video_array_u8(d, self.config.num_frames, self.config.image_size)
-                for d in frames_dirs
-            ])
+            if len(frames_dirs) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(len(frames_dirs), 8)) as pool:
+                    loaded = list(pool.map(
+                        lambda d: load_video_array_u8(
+                            d, self.config.num_frames, self.config.image_size
+                        ),
+                        frames_dirs,
+                    ))
+            else:
+                loaded = [load_video_array_u8(
+                    frames_dirs[0], self.config.num_frames, self.config.image_size
+                )]
+            videos = np.concatenate(loaded)
             all_texts = self._infer_videos(jnp.asarray(videos))
             results = []
             for texts in all_texts:
