@@ -266,7 +266,10 @@ def main(argv=None) -> int:
 
     frames_dir = args.frames_dir or _make_synth_frames()
 
-    tag = "bf16" if args.dtype == "bfloat16" else "fp32"
+    # report-name parity: the deployment default (bf16) writes the reference's
+    # plain file names (baseline_summary.json, ...); fp32 gets a suffix, like
+    # the reference's fp16 variant wrote *_fp16 files
+    tag = "" if args.dtype == "bfloat16" else "fp32"
     run_sweep(
         config, frames_dir, [int(b) for b in args.batch_sizes.split(",")],
         args.warmup, args.iters, args.max_new_tokens, Path(args.out_dir), tag=tag,

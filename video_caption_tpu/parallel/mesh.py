@@ -16,7 +16,7 @@ collectives appear in model code.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np

@@ -19,7 +19,7 @@ import logging
 import queue
 import threading
 from concurrent.futures import Future
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 log = logging.getLogger(__name__)
 

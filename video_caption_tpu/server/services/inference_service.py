@@ -7,7 +7,7 @@ import logging
 from pathlib import Path
 from typing import Dict
 
-from video_caption_tpu.config import CompileConfig, InferenceConfig, default_inference_config
+from video_caption_tpu.config import InferenceConfig, default_inference_config
 from video_caption_tpu.server.schemas import InferRequest
 from video_caption_tpu.server.services.model_registry import MODEL_REGISTRY
 from video_caption_tpu.server.services.task_manager import DEVICE_TASK_MANAGER
