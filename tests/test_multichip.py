@@ -40,3 +40,52 @@ def test_shard_batch_places_on_data_axis(tiny_params):
     batch = {"x": np.zeros((16, 4), np.float32)}
     sharded = pmesh.shard_batch(batch, mesh)
     assert sharded["x"].sharding.spec[0] == "data"
+
+
+def test_engine_multichip_inference(tiny_cfg, tiny_params, tmp_path):
+    """infer_batch with a 2x2 mesh (DP batch sharding + TP params) matches
+    the single-device engine's captions."""
+    import dataclasses
+
+    import numpy as np
+    from PIL import Image
+
+    from video_caption_tpu.config import MeshConfig, default_inference_config
+    from video_caption_tpu.engine import InferenceEngine
+
+    class TinyTok:
+        eos_token_id = 127
+        bos_token_id = 127
+        pad_token_id = 127
+        vocab_size = 128
+
+        def encode(self, text):
+            return [b % 127 for b in text.encode()] or [1]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(int(i)) for i in ids if int(i) != 127)
+
+    rng = np.random.RandomState(1)
+    dirs = []
+    for v in range(4):
+        d = tmp_path / f"m{v}"
+        d.mkdir()
+        for i in range(2):
+            Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)).save(
+                d / f"frame_{i:05d}.jpg"
+            )
+        dirs.append(str(d))
+
+    base_cfg = default_inference_config(
+        ckpt="missing.pt", num_frames=2, image_size=32,
+        preset1="precise", preset2="precise", preset3="precise",
+    )
+    single = InferenceEngine(base_cfg, params=tiny_params, model_cfg=tiny_cfg)
+    single.tokenizer = TinyTok()
+    expected = [r.to_api_dict() for r in single.infer_batch(dirs)]
+
+    mesh_cfg = dataclasses.replace(base_cfg, mesh=MeshConfig(data=2, model=2))
+    multi = InferenceEngine(mesh_cfg, params=tiny_params, model_cfg=tiny_cfg)
+    multi.tokenizer = TinyTok()
+    got = [r.to_api_dict() for r in multi.infer_batch(dirs)]
+    assert got == expected

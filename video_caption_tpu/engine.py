@@ -97,6 +97,15 @@ class InferenceEngine:
         self.memory = MemoryManager(config.memory)
         self.model_cfg = model_cfg or model_config_from_inference(config)
         self.params = params if params is not None else load_params(config, self.model_cfg, seed)
+        self.mesh = None
+        if config.mesh.num_devices > 1:
+            # multi-chip inference: parameters sharded by the TP rules, batch
+            # dim of infer_batch sharded over the data axis (SURVEY §5.8's
+            # reserved-multichip boundary, actually wired)
+            from video_caption_tpu.parallel import make_mesh, shard_params
+
+            self.mesh = make_mesh(config.mesh, jax.devices()[: config.mesh.num_devices])
+            self.params = shard_params(self.params, self.mesh)
         self.tokenizer = get_tokenizer()
         self._rng = jax.random.PRNGKey(seed)
         self._prefix_fn = jax.jit(
@@ -323,7 +332,13 @@ class InferenceEngine:
                     frames_dirs[0], self.config.num_frames, self.config.image_size
                 )]
             videos = np.concatenate(loaded)
-            all_texts = self._infer_videos(jnp.asarray(videos))
+            if self.mesh is not None:
+                from video_caption_tpu.parallel import shard_batch
+
+                device_videos = shard_batch({"v": videos}, self.mesh)["v"]
+            else:
+                device_videos = jnp.asarray(videos)
+            all_texts = self._infer_videos(device_videos)
             results = []
             for texts in all_texts:
                 candidates = CaptionCandidates(s1=texts[0], s2=texts[1], s3=texts[2])
