@@ -97,8 +97,9 @@ def run_training(
                 if val < best_val:
                     best_val = val
                     if cfg.ckpt_path:
+                        # stage-1/2 payloads carry opt_state (train_full.py:162-169)
                         save_checkpoint(cfg.ckpt_path, params, step=step, epoch=epoch,
-                                        best_val=best_val)
+                                        best_val=best_val, opt_state=opt_state)
             if cfg.max_steps and step >= cfg.max_steps:
                 stop = True
                 break
@@ -113,7 +114,7 @@ def run_training(
             best_val = val
             if cfg.ckpt_path:
                 save_checkpoint(cfg.ckpt_path, params, step=step, epoch=cfg.epochs,
-                                best_val=best_val)
+                                best_val=best_val, opt_state=opt_state)
 
     return {"params": params, "steps": step, "best_val": best_val,
             "wall_s": time.time() - t0}
