@@ -83,3 +83,18 @@ def test_prefetch_worker_equivalent(dataset_dir):
     for ba, bb in zip(a, b):
         np.testing.assert_array_equal(ba["caption_ids"], bb["caption_ids"])
         np.testing.assert_allclose(ba["video"], bb["video"])
+
+
+def test_uint8_pixels_mode(dataset_dir):
+    import jax.numpy as jnp
+
+    from video_caption_tpu.models.vit import normalize_pixels
+
+    fp32 = build_dataloader(dataset_dir, TinyTok(), batch_size=2, max_len=8,
+                            num_frame=4, image_size=32, shuffle=False)
+    u8 = build_dataloader(dataset_dir, TinyTok(), batch_size=2, max_len=8,
+                          num_frame=4, image_size=32, shuffle=False, uint8_pixels=True)
+    bf, bu = next(iter(fp32)), next(iter(u8))
+    assert bu["video"].dtype == np.uint8
+    normalized = np.asarray(normalize_pixels(jnp.asarray(bu["video"])))
+    assert np.abs(normalized - bf["video"]).max() < 0.02

@@ -61,9 +61,11 @@ class MSVDDataset:
         image_size: int = 224,
         split: Optional[str] = None,
         captions_per_video: int = 0,   # 0 = all captions
+        uint8_pixels: bool = False,    # ship raw pixels, normalize on device
     ):
         self.num_frames = num_frames
         self.image_size = image_size
+        self.uint8_pixels = uint8_pixels
         records = json.loads(Path(ann_path).read_text(encoding="utf-8"))
         if isinstance(records, dict):
             records = records.get("annotations", records.get("records", []))
@@ -92,6 +94,10 @@ class MSVDDataset:
     def load_video(self, frames_dir: str) -> np.ndarray:
         files = list_frames(frames_dir)
         picks = [files[i] for i in _sample_indices(len(files), self.num_frames)]
+        if self.uint8_pixels:
+            from video_caption_tpu.preprocessing.frame_loader import load_image_u8
+
+            return np.stack([load_image_u8(p, self.image_size) for p in picks])
         return np.stack([load_image(p, self.image_size) for p in picks])
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
@@ -145,7 +151,9 @@ class DataLoader:
         items = [self.dataset[i] for i in indices]
         ids_masks = [self._tokenize(it["caption"]) for it in items]
         return {
-            "video": np.stack([it["video"] for it in items]).astype(np.float32),
+            "video": np.stack([it["video"] for it in items]).astype(
+                np.uint8 if self.dataset.uint8_pixels else np.float32
+            ),
             "caption_ids": np.stack([im[0] for im in ids_masks]),
             "attention_mask": np.stack([im[1] for im in ids_masks]),
             "video_id": [it["video_id"] for it in items],
@@ -194,14 +202,17 @@ def build_dataloader(
     shuffle: bool = True,
     num_workers: int = 0,
     split: Optional[str] = None,
+    uint8_pixels: bool = False,
     **compat_kwargs,
 ) -> DataLoader:
     """Reference-compatible factory (src/cli/train.py:84-93). The reference
     call sites pass the misspelled ``num_wokers`` — accepted via
-    ``compat_kwargs``."""
+    ``compat_kwargs``. ``uint8_pixels`` ships raw resized pixels and lets the
+    device normalize (4x less host->device traffic per training step)."""
     if "num_wokers" in compat_kwargs:
         num_workers = compat_kwargs.pop("num_wokers")
-    dataset = MSVDDataset(ann_path, num_frames=num_frame, image_size=image_size, split=split)
+    dataset = MSVDDataset(ann_path, num_frames=num_frame, image_size=image_size,
+                          split=split, uint8_pixels=uint8_pixels)
     return DataLoader(
         dataset, tokenizer, batch_size=batch_size, max_len=max_len,
         shuffle=shuffle, num_workers=num_workers,
