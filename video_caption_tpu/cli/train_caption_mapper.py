@@ -28,6 +28,8 @@ def parse_args(argv=None):
     p.add_argument("--ckpt_path", default="checkpoints/msvd_mapper_finetune")
     p.add_argument("--mesh_data", type=int, default=0, help="0 = all devices")
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--u8_pixels", action="store_true",
+                   help="ship uint8 pixels; normalize on device (4x less transfer)")
     return p.parse_args(argv)
 
 
@@ -48,6 +50,7 @@ def main(argv=None) -> int:
     loader = build_dataloader(
         args.ann_path, tokenizer, batch_size=args.batch_size, max_len=args.max_len,
         num_frame=args.num_frame, image_size=args.image_size, num_workers=1,
+        uint8_pixels=args.u8_pixels,
     )
     val_loader = build_dataloader(
         args.val_ann_path, tokenizer, batch_size=args.batch_size, max_len=args.max_len,
