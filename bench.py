@@ -59,13 +59,15 @@ def main() -> None:
 
     hist_path = Path("reports/bench_history.json")
     hist_path.parent.mkdir(exist_ok=True)
-    prev = None
+    first = None
     if hist_path.is_file():
         try:
-            prev = json.loads(hist_path.read_text())[-1]["value"]
+            first = json.loads(hist_path.read_text())[0]["value"]
         except Exception:
-            prev = None
-    vs_baseline = (caps_per_sec / prev) if prev else 1.0
+            first = None
+    # the reference publishes no numbers (BASELINE.md); baseline = the first
+    # measurement recorded this build, so vs_baseline tracks cumulative gain
+    vs_baseline = (caps_per_sec / first) if first else 1.0
 
     record = {
         "metric": "captions_per_sec_per_chip",

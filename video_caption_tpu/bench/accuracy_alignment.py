@@ -39,9 +39,12 @@ def check_alignment(image_size: int = 224, num_frames: int = 4, seed: int = 0) -
     params = cm.init_caption_model(rng, golden_cfg)
     video = jax.random.normal(jax.random.PRNGKey(1), (1, num_frames, 3, image_size, image_size))
 
-    with jax.disable_jit():
-        golden_emb = cm.encode_video(params, video, golden_cfg)
-        golden_prefix = cm.video_to_prefix(params, video, golden_cfg)
+    # fp32 comparisons must pin true-fp32 matmuls: both TPU and XLA:CPU run
+    # "fp32" matmuls in reduced precision by default, which swamps the gates
+    with jax.default_matmul_precision("highest"):
+        with jax.disable_jit():
+            golden_emb = cm.encode_video(params, video, golden_cfg)
+            golden_prefix = cm.video_to_prefix(params, video, golden_cfg)
 
     def record(name: str, got, ref, tol: float):
         err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32))))
@@ -52,7 +55,8 @@ def check_alignment(image_size: int = 224, num_frames: int = 4, seed: int = 0) -
                  "OK" if rel <= tol else "FAIL")
 
     # 1. jit fp32 vs eager fp32 — must be tight
-    emb_jit = jax.jit(lambda p, v: cm.encode_video(p, v, golden_cfg))(params, video)
+    with jax.default_matmul_precision("highest"):
+        emb_jit = jax.jit(lambda p, v: cm.encode_video(p, v, golden_cfg))(params, video)
     record("encoder jit-fp32 vs eager", emb_jit, golden_emb, 1e-3)
 
     # 2. bf16 compiled policy vs fp32 golden — deployment numerics
@@ -71,11 +75,14 @@ def check_alignment(image_size: int = 224, num_frames: int = 4, seed: int = 0) -
     from jax.experimental.pallas import tpu as pltpu
 
     try:
-        if jax.default_backend() == "tpu":
-            prefix_pallas = jax.jit(lambda p, v: cm.video_to_prefix(p, v, pallas_cfg))(params, video)
-        else:
-            with pltpu.force_tpu_interpret_mode():
-                prefix_pallas = cm.video_to_prefix(params, video, pallas_cfg)
+        with jax.default_matmul_precision("highest"):
+            if jax.default_backend() in ("tpu", "axon"):
+                prefix_pallas = jax.jit(
+                    lambda p, v: cm.video_to_prefix(p, v, pallas_cfg)
+                )(params, video)
+            else:
+                with pltpu.force_tpu_interpret_mode():
+                    prefix_pallas = cm.video_to_prefix(params, video, pallas_cfg)
         record("pallas ops vs XLA", prefix_pallas, golden_prefix, 1e-3)
     except Exception as exc:  # pragma: no cover
         results["pallas ops vs XLA"] = {"ok": False, "error": str(exc)}
