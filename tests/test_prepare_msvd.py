@@ -57,3 +57,31 @@ def test_prepare_full_pipeline(video_dataset, tmp_path):
     ds = MSVDDataset(str(ann_files[0]), num_frames=2, image_size=32)
     assert len(ds) > 0
     assert ds[0]["video"].shape == (2, 3, 32, 32)
+
+
+def test_prepare_msrvtt_pipeline(video_dataset, tmp_path):
+    from video_caption_tpu.scripts.prepare_msrvtt import parse_videodatainfo, prepare
+
+    info = {
+        "videos": [
+            {"video_id": "vidA", "split": "train", "category": 1},
+            {"video_id": "vidB", "split": "validate", "category": 2},
+        ],
+        "sentences": [
+            {"video_id": "vidA", "caption": "a man walks"},
+            {"video_id": "vidA", "caption": "someone strolls"},
+            {"video_id": "vidB", "caption": "a dog barks"},
+        ],
+    }
+    info_path = tmp_path / "videodatainfo.json"
+    info_path.write_text(json.dumps(info))
+
+    records = parse_videodatainfo(str(info_path))
+    assert records[0]["captions"] == ["a man walks", "someone strolls"]
+
+    counts = prepare(str(info_path), str(video_dataset / "videos"),
+                     str(tmp_path / "out"), num_frames=4, image_size=32)
+    assert counts == {"train": 1, "val": 1}
+    val_ann = json.loads((tmp_path / "out" / "val" / "annotations.json").read_text())
+    assert val_ann[0]["video_id"] == "vidB"
+    assert len(list(Path(val_ann[0]["frames_dir"]).glob("frame_*.jpg"))) == 4
