@@ -339,27 +339,31 @@ class InferenceEngine:
         29-73): ONE encoder pass over all videos and grouped decodes whose
         rows span videos x presets. Returns [InferenceResult, ...]."""
         with self.memory.oom_guard():
-            if len(frames_dirs) > 1:
+            if self.mesh is not None:
+                from video_caption_tpu.parallel import shard_batch
+
+                loaded = [load_video_array_u8(
+                    d, self.config.num_frames, self.config.image_size
+                ) for d in frames_dirs]
+                device_videos = shard_batch({"v": np.concatenate(loaded)}, self.mesh)["v"]
+            elif len(frames_dirs) > 1:
+                # streaming upload: worker threads JPEG-decode videos while the
+                # main thread ships each finished video to the device (async),
+                # overlapping decode with the host->device wire
                 from concurrent.futures import ThreadPoolExecutor
 
+                device_vids = []
                 with ThreadPoolExecutor(max_workers=min(len(frames_dirs), 8)) as pool:
-                    loaded = list(pool.map(
+                    for arr in pool.map(
                         lambda d: load_video_array_u8(
                             d, self.config.num_frames, self.config.image_size
                         ),
                         frames_dirs,
-                    ))
+                    ):
+                        device_vids.append(jax.device_put(arr))
+                device_videos = jnp.concatenate(device_vids, axis=0)
             else:
-                loaded = [load_video_array_u8(
-                    frames_dirs[0], self.config.num_frames, self.config.image_size
-                )]
-            videos = np.concatenate(loaded)
-            if self.mesh is not None:
-                from video_caption_tpu.parallel import shard_batch
-
-                device_videos = shard_batch({"v": videos}, self.mesh)["v"]
-            else:
-                device_videos = jnp.asarray(videos)
+                device_videos = self._load_video_to_device(frames_dirs[0])
             all_texts = self._infer_videos(device_videos)
             results = []
             for texts in all_texts:
