@@ -97,6 +97,16 @@ class InferenceEngine:
         self.memory = MemoryManager(config.memory)
         self.model_cfg = model_cfg or model_config_from_inference(config)
         self.params = params if params is not None else load_params(config, self.model_cfg, seed)
+        if self.model_cfg.vit.dtype == jnp.bfloat16:
+            # Inference params are stored bf16: the decode step reads every
+            # GPT-2 weight each token, so fp32 storage doubles the HBM
+            # traffic of the bandwidth-bound loop (and the in-scan casts
+            # can't always be hoisted). Training keeps fp32 masters.
+            self.params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                self.params,
+            )
         self.mesh = None
         if config.mesh.num_devices > 1:
             # multi-chip inference: parameters sharded by the TP rules, batch
