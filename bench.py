@@ -40,7 +40,7 @@ def main() -> None:
 
     warmup = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 15
-    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 
     cfg = InferenceConfig(ckpt="checkpoints/msvd_mapper_finetune_v2.pt", num_frames=16)
     engine = InferenceEngine(cfg)
