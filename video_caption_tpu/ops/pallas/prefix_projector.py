@@ -13,7 +13,7 @@ mirroring CuPyLinearCompat's fallback (cupy_linear_mapper.py:157-184).
 from __future__ import annotations
 
 import logging
-from functools import partial
+
 from typing import Optional
 
 import jax

@@ -17,7 +17,7 @@ import argparse
 import json
 import logging
 import re
-from pathlib import Path
+
 from typing import Callable, Dict, Optional, Tuple
 
 log = logging.getLogger(__name__)

@@ -18,10 +18,9 @@ import logging
 import time
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, Dict, Iterator, Optional, Tuple
+from typing import Any, Dict, Iterator, Optional
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from video_caption_tpu.models import caption_model as cm

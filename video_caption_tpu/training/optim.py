@@ -9,7 +9,7 @@ would not implement a layer-wise LR).
 """
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any
 
 import jax
 import jax.numpy as jnp
