@@ -109,3 +109,27 @@ def test_mapper_trainer_fit_smoke(tiny_params, tiny_cfg, tmp_path):
     stats = trainer.fit(batches, batches[:2])
     assert stats["steps"] == 4
     assert (tmp_path / "run" / "events.csv").exists()
+
+
+def test_freeze_encoder_stop_gradient(tiny_params, tiny_cfg):
+    """freeze_encoder: loss value identical, encoder grads exactly zero,
+    mapper grads unchanged."""
+    import dataclasses
+
+    from video_caption_tpu.models import caption_model as cm
+
+    video = jnp.asarray(np.random.RandomState(0).randn(1, 2, 3, 32, 32), jnp.float32)
+    ids = jnp.asarray([[3, 4, 5, 127]], jnp.int32)
+    mask = jnp.ones((1, 4), jnp.int32)
+    frozen_cfg = dataclasses.replace(tiny_cfg, freeze_encoder=True)
+
+    l0 = float(cm.compute_loss(tiny_params, video, ids, mask, tiny_cfg))
+    l1 = float(cm.compute_loss(tiny_params, video, ids, mask, frozen_cfg))
+    assert abs(l0 - l1) < 1e-6
+
+    g_frozen = jax.grad(lambda p: cm.compute_loss(p, video, ids, mask, frozen_cfg))(tiny_params)
+    g_full = jax.grad(lambda p: cm.compute_loss(p, video, ids, mask, tiny_cfg))(tiny_params)
+    assert float(jnp.sum(jnp.abs(g_frozen["encoder"]["cls_token"]))) == 0.0
+    assert float(jnp.sum(jnp.abs(g_full["encoder"]["cls_token"]))) > 0.0
+    np.testing.assert_allclose(np.asarray(g_frozen["mapper"]["w"]),
+                               np.asarray(g_full["mapper"]["w"]), rtol=1e-5, atol=1e-7)

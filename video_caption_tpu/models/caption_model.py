@@ -36,6 +36,12 @@ class CaptionModelConfig:
     ln_scale: float = 0.6
     in_weight: float = 0.4
     use_pallas_projector: bool = False
+    freeze_encoder: bool = False
+    """Training-time: stop_gradient after the encoder. With the ViT frozen
+    (the product trainer's setting, train_caption_mapper.py:199-207) the
+    encoder backward pass is dead code — masking its grads to zero still
+    pays for computing them; stop_gradient lets XLA eliminate the whole
+    backward ViT."""
 
     @property
     def mapper_out(self) -> int:
@@ -121,7 +127,12 @@ def compute_loss(
     """Teacher-forcing loss: prefix gets attention=1 / label=-100
     (reference: caption_model.py:104-168, text_decoder.py:94-99)."""
     b = video.shape[0]
-    prefix = video_to_prefix(params, video, cfg)
+    if cfg.freeze_encoder:
+        emb = jax.lax.stop_gradient(encode_video(params, video, cfg))
+        emb = apply_prefix_norm(emb, cfg.ln_scale, cfg.in_weight)
+        prefix = map_prefix(params, emb, cfg)
+    else:
+        prefix = video_to_prefix(params, video, cfg)
     p = prefix.shape[1]
     embeds = build_decoder_inputs(params, prefix, input_ids, cfg)
     full_mask = jnp.concatenate(

@@ -79,9 +79,20 @@ class MapperTrainer:
         args: TrainArgs = TrainArgs(),
         mesh: Optional[jax.sharding.Mesh] = None,
     ):
+        import dataclasses
+
+        # ViT always frozen in this trainer (reference :199-207): stop-grad
+        # the encoder so XLA drops its backward pass entirely
+        cfg = dataclasses.replace(cfg, freeze_encoder=True)
         self.cfg = cfg
         self.args = args
         self.mesh = mesh or pmesh.make_mesh()
+        # own copy: the train step DONATES its param buffers, and device_put
+        # inside shard_params can alias the caller's arrays zero-copy — a
+        # donated alias would delete the caller's params out from under them
+        import jax.numpy as jnp
+
+        params = jax.tree.map(jnp.array, params)
         self.params = pmesh.shard_params(params, self.mesh)
         lr_tree = topt.mapper_lr_tree(
             self.params, args.lr, args.lr_gpt2, args.unfreeze_last_gpt2, cfg.gpt2.n_layer
