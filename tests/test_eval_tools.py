@@ -215,3 +215,36 @@ def test_alias_frame_names(tmp_path):
     assert len(list(d.glob("frame_*.jpg"))) == 3
     # idempotent: canonical names already exist
     assert alias_frame_names(str(d)) == 0
+
+
+def test_extract_features_with_injected_encoder(tmp_path):
+    import json as _json
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from video_caption_tpu.retrieval.features import extract_features
+
+    records = []
+    rng = np.random.RandomState(0)
+    for v in range(3):
+        d = tmp_path / f"v{v}"
+        d.mkdir()
+        for i in range(2):
+            Image.fromarray(rng.randint(0, 255, (16, 16, 3), np.uint8)).save(
+                d / f"frame_{i:05d}.jpg"
+            )
+        records.append({"video_id": f"v{v}", "captions": ["c"], "frames_dir": str(d)})
+    ann = tmp_path / "ann.json"
+    ann.write_text(_json.dumps(records))
+
+    def fake_encoder(videos):  # [B,T,3,H,W] -> [B,4]
+        return jnp.mean(videos, axis=(1, 2, 3, 4), keepdims=False)[:, None] * jnp.ones((1, 4))
+
+    feats, ids = extract_features(str(ann), str(tmp_path / "out"), num_frames=2,
+                                  image_size=16, batch_size=2, encoder=fake_encoder)
+    assert feats.shape == (3, 4)
+    assert ids == ["v0", "v1", "v2"]
+    norms = np.linalg.norm(feats, axis=1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+    assert (tmp_path / "out" / "features.npy").exists()

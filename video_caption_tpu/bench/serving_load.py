@@ -1,0 +1,125 @@
+"""Concurrent-serving load benchmark (BASELINE.json configuration #5:
+"FastAPI serving path: concurrent video uploads, batched encode+decode at
+fixed QPS").
+
+Boots the HTTP server in-process (stdlib fallback server — no extra deps),
+fires concurrent POST /infer requests at a fixed offered QPS from worker
+threads, and reports achieved QPS + latency percentiles. With batch serving
+enabled (default) the coalescing queue turns co-arriving requests into
+batched device programs.
+
+Usage:
+    python -m video_caption_tpu.bench.serving_load --qps 8 --duration 20
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import statistics
+import threading
+import time
+import urllib.request
+from pathlib import Path
+from typing import List
+
+log = logging.getLogger(__name__)
+
+
+def run_load(
+    frames_dir: str, qps: float, duration_s: float, port: int = 0,
+    num_frames: int = 16, max_batch: int = 8,
+) -> dict:
+    from video_caption_tpu.config import default_inference_config
+    from video_caption_tpu.server.services.model_registry import MODEL_REGISTRY
+    from video_caption_tpu.server.stdlib_server import StdlibServer
+
+    # pre-build + warm the engine so load numbers exclude compilation
+    config = default_inference_config(num_frames=num_frames)
+    engine = MODEL_REGISTRY.get_engine(config)
+    engine.warmup()
+    engine.infer_batch([frames_dir] * max_batch)  # compile batched programs
+
+    srv = StdlibServer("127.0.0.1", port).start()
+    url = f"http://127.0.0.1:{srv.port}/api/v1/infer"
+    payload = json.dumps({"frames_dir": frames_dir, "num_frames": num_frames}).encode()
+
+    latencies: List[float] = []
+    errors: List[str] = []
+    lock = threading.Lock()
+
+    def fire():
+        t0 = time.perf_counter()
+        try:
+            req = urllib.request.Request(
+                url, data=payload, headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                resp.read()
+            with lock:
+                latencies.append(time.perf_counter() - t0)
+        except Exception as exc:  # pragma: no cover
+            with lock:
+                errors.append(str(exc))
+
+    threads: List[threading.Thread] = []
+    interval = 1.0 / qps
+    start = time.perf_counter()
+    n_sent = 0
+    while time.perf_counter() - start < duration_s:
+        t = threading.Thread(target=fire)
+        t.start()
+        threads.append(t)
+        n_sent += 1
+        next_at = start + n_sent * interval
+        sleep = next_at - time.perf_counter()
+        if sleep > 0:
+            time.sleep(sleep)
+    for t in threads:
+        t.join(timeout=180)
+    wall = time.perf_counter() - start
+    srv.stop()
+
+    lat_sorted = sorted(latencies)
+    result = {
+        "offered_qps": qps,
+        "achieved_qps": round(len(latencies) / wall, 3),
+        "requests_ok": len(latencies),
+        "errors": len(errors),
+        "duration_s": round(wall, 2),
+        "latency_ms": {
+            "p50": round(statistics.median(lat_sorted) * 1000, 1) if lat_sorted else None,
+            "p90": round(lat_sorted[int(0.9 * (len(lat_sorted) - 1))] * 1000, 1) if lat_sorted else None,
+            "p99": round(lat_sorted[int(0.99 * (len(lat_sorted) - 1))] * 1000, 1) if lat_sorted else None,
+            "max": round(lat_sorted[-1] * 1000, 1) if lat_sorted else None,
+        },
+    }
+    return result
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, force=True)
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames_dir", default="")
+    p.add_argument("--qps", type=float, default=8.0)
+    p.add_argument("--duration", type=float, default=20.0)
+    p.add_argument("--num_frames", type=int, default=16)
+    p.add_argument("--out", default="reports/serving_load.json")
+    args = p.parse_args(argv)
+
+    frames = args.frames_dir
+    if not frames:
+        from video_caption_tpu.bench.benchmark import _make_synth_frames
+
+        frames = _make_synth_frames()
+    result = run_load(frames, args.qps, args.duration, num_frames=args.num_frames)
+    print(json.dumps(result, indent=1))
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(result, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
