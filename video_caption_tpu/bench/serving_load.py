@@ -38,7 +38,11 @@ def run_load(
     config = default_inference_config(num_frames=num_frames)
     engine = MODEL_REGISTRY.get_engine(config)
     engine.warmup()
-    engine.infer_batch([frames_dir] * max_batch)  # compile batched programs
+    # compile every batch bucket the queue can dispatch (1, 2, 4, ..., max)
+    b = 1
+    while b <= max_batch:
+        engine.infer_batch([frames_dir] * b)
+        b *= 2
 
     srv = StdlibServer("127.0.0.1", port).start()
     url = f"http://127.0.0.1:{srv.port}/api/v1/infer"

@@ -68,14 +68,25 @@ class BatchingQueue:
             batch.append(nxt)
         return batch
 
+    @staticmethod
+    def _bucket_size(n: int) -> int:
+        """Next power of two >= n: every distinct batch size is a separately
+        compiled XLA program, and a fresh compile under load stalls the whole
+        queue for minutes — bucketing bounds the program count to log2(max)."""
+        size = 1
+        while size < n:
+            size *= 2
+        return size
+
     def _run(self) -> None:
         while not self._stop.is_set():
             batch = self._collect()
             if not batch:
                 continue
             dirs = [d for d, _ in batch]
+            padded = dirs + [dirs[-1]] * (self._bucket_size(len(dirs)) - len(dirs))
             try:
-                results = self.engine.infer_batch(dirs)
+                results = self.engine.infer_batch(padded)[: len(dirs)]
                 for (_, fut), res in zip(batch, results):
                     fut.set_result(res)
             except Exception as exc:
