@@ -102,6 +102,10 @@ class CompileConfig:
     chip: separate async dispatches pipeline better (3.9 vs 2.8 captions/s);
     on a directly-attached chip fusing may win — hence the knob."""
     early_stop_decode: bool = _env_bool("VIDEO_CAPTION_EARLY_STOP", False)
+    quantize_decoder_int8: bool = _env_bool("VIDEO_CAPTION_INT8", False)
+    """Weight-only int8 for the GPT-2 block matmuls (per-output-channel
+    scales): halves decode HBM weight traffic vs bf16. Off by default —
+    captions may deviate from the fp/bf16 reference tokens."""
 
 
 @dataclass(frozen=True)

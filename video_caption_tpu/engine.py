@@ -107,6 +107,12 @@ class InferenceEngine:
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
                 self.params,
             )
+        if config.compile.quantize_decoder_int8:
+            # after the bf16 cast so the per-channel scales stay fp32
+            from video_caption_tpu.models.quantize import quantize_gpt2_blocks
+
+            self.params = dict(self.params)
+            self.params["decoder"] = quantize_gpt2_blocks(self.params["decoder"])
         self.mesh = None
         if config.mesh.num_devices > 1:
             # multi-chip inference: parameters sharded by the TP rules, batch

@@ -107,9 +107,11 @@ def _cached_attention(
     ``valid_mask`` is [B, max_len] over *cache columns* (1 = real token after
     this forward's writes). Returns (output [B,S,H], new_k, new_v caches).
     """
+    from video_caption_tpu.models.quantize import block_weight
+
     b, s, h = x.shape
     max_len = k_cache.shape[1]
-    qkv = x @ blk["attn_w"].astype(x.dtype) + blk["attn_b"].astype(x.dtype)
+    qkv = x @ block_weight(blk, "attn_w", x.dtype) + blk["attn_b"].astype(x.dtype)
     qkv = qkv.reshape(b, s, 3, cfg.n_head, cfg.head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,S,nh,hd]
 
@@ -127,7 +129,7 @@ def _cached_attention(
         )
         if fused is not None:
             out = fused.reshape(b, 1, h)
-            out = out @ blk["proj_w"].astype(x.dtype) + blk["proj_b"].astype(x.dtype)
+            out = out @ block_weight(blk, "proj_w", x.dtype) + blk["proj_b"].astype(x.dtype)
             return out, k_cache, v_cache
 
     scale = cfg.head_dim ** -0.5
@@ -143,7 +145,7 @@ def _cached_attention(
     attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", attn, v_cache.astype(x.dtype))
     out = out.reshape(b, s, h)
-    out = out @ blk["proj_w"].astype(x.dtype) + blk["proj_b"].astype(x.dtype)
+    out = out @ block_weight(blk, "proj_w", x.dtype) + blk["proj_b"].astype(x.dtype)
     return out, k_cache, v_cache
 
 
@@ -160,6 +162,8 @@ def gpt2_forward(
     dt = cfg.dtype
     x = inputs_embeds.astype(dt) + params["wpe"][positions].astype(dt)
 
+    from video_caption_tpu.models.quantize import block_weight
+
     def body(carry, xs):
         xv = carry
         blk, kc, vc = xs
@@ -167,9 +171,9 @@ def gpt2_forward(
         a_out, kc, vc = _cached_attention(a_in, blk, kc, vc, offset, valid_mask, cfg)
         xv = xv + a_out
         m_in = _layer_norm(xv, blk["ln2_scale"], blk["ln2_bias"], cfg.ln_eps)
-        m = m_in @ blk["fc_w"].astype(dt) + blk["fc_b"].astype(dt)
+        m = m_in @ block_weight(blk, "fc_w", dt) + blk["fc_b"].astype(dt)
         m = jax.nn.gelu(m.astype(jnp.float32), approximate=True).astype(dt)
-        m = m @ blk["out_w"].astype(dt) + blk["out_b"].astype(dt)
+        m = m @ block_weight(blk, "out_w", dt) + blk["out_b"].astype(dt)
         xv = xv + m
         return xv, (kc, vc)
 
