@@ -67,20 +67,21 @@ def load_params(config: InferenceConfig, model_cfg: cm.CaptionModelConfig, seed:
     stance: anything the checkpoint lacks keeps its random init)."""
     init = cm.init_caption_model(jax.random.PRNGKey(seed), model_cfg)
     ckpt = Path(config.ckpt)
-    if ckpt.is_file():
-        if ckpt.suffix in {".pt", ".pth", ".bin"}:
-            from video_caption_tpu.models.convert import (
-                convert_caption_checkpoint, load_torch_checkpoint, merge_params,
-            )
+    if ckpt.is_file() and ckpt.suffix in {".pt", ".pth", ".bin"}:
+        from video_caption_tpu.models.convert import (
+            convert_caption_checkpoint, load_torch_checkpoint, merge_params,
+        )
 
-            state = load_torch_checkpoint(str(ckpt))
-            converted = convert_caption_checkpoint(state, model_cfg)
-            log.info("loaded torch checkpoint %s (%d families)", ckpt, len(converted))
-            return merge_params(init, converted)
+        state = load_torch_checkpoint(str(ckpt))
+        converted = convert_caption_checkpoint(state, model_cfg)
+        log.info("loaded torch checkpoint %s (%d families)", ckpt, len(converted))
+        return merge_params(init, converted)
+    if ckpt.exists():  # orbax checkpoints are directories
         from video_caption_tpu.training.checkpoint import restore_params
 
         restored = restore_params(str(ckpt), init)
         if restored is not None:
+            log.info("loaded orbax checkpoint %s", ckpt)
             return restored
     log.warning("checkpoint %s not found; using randomly initialized parameters", ckpt)
     return init
