@@ -314,15 +314,17 @@ class InferenceEngine:
         self._fused_program = (program, group_list, len(pairs))
         return self._fused_program
 
-    def _infer_videos(self, video: jax.Array) -> list:
-        """video [V,T,3,H,W] (uint8) -> texts[v][preset_index].
+    def _dispatch_videos(self, video: jax.Array):
+        """Enqueue every device program for ``video`` WITHOUT materializing
+        results — dispatches are async, so the caller can overlap the next
+        request's host work (JPEG decode, transfer) with this one's device
+        compute (double buffering). Returns an opaque handle for
+        ``_collect_videos``.
 
         Two dispatch strategies (CompileConfig.fuse_request_program):
         - fused: one jitted program for the whole request,
-        - unfused (default): prefix + one program per decode group, all
-          dispatched asynchronously before any result is materialized —
-          dispatches pipeline with each other and with host work, which
-          measures faster on the tunneled chip."""
+        - unfused (default): prefix + one program per decode group — measures
+          faster on the tunneled chip."""
         program, group_list, n_pairs = self._fused_infer_program()
         self._rng, sub = jax.random.split(self._rng)
         if self.config.compile.fuse_request_program:
@@ -340,7 +342,11 @@ class InferenceEngine:
                     self.params["decoder"], self.model_cfg.gpt2, prefix_rows,
                     ids, mask, dp, key,
                 ))
-        v = video.shape[0]
+        return outs, group_list, n_pairs, video.shape[0]
+
+    def _collect_videos(self, handle) -> list:
+        """Materialize a ``_dispatch_videos`` handle -> texts[v][preset_idx]."""
+        outs, group_list, n_pairs, v = handle
         texts = [[""] * n_pairs for _ in range(v)]
         for (dp, idxs, _, _), out in zip(group_list, outs):
             arr = np.asarray(out)
@@ -350,11 +356,14 @@ class InferenceEngine:
                 texts[vid][idxs[slot]] = clean_text(text.strip())
         return texts
 
-    def infer_batch(self, frames_dirs) -> list:
-        """Batched multi-video inference — the in-process replacement for the
-        reference's subprocess-per-video batch tool (tools/batch_infer.py:
-        29-73): ONE encoder pass over all videos and grouped decodes whose
-        rows span videos x presets. Returns [InferenceResult, ...]."""
+    def _infer_videos(self, video: jax.Array) -> list:
+        return self._collect_videos(self._dispatch_videos(video))
+
+    def infer_batch_dispatch(self, frames_dirs):
+        """Async half of infer_batch: loads + uploads + enqueues the device
+        programs and returns a handle; pair with ``infer_batch_collect``.
+        Lets a driver overlap batch N+1's host work with batch N's device
+        compute (used by tools/batch_infer's pipelined loop)."""
         with self.memory.oom_guard():
             if self.mesh is not None:
                 from video_caption_tpu.parallel import shard_batch
@@ -381,17 +390,27 @@ class InferenceEngine:
                 device_videos = jnp.concatenate(device_vids, axis=0)
             else:
                 device_videos = self._load_video_to_device(frames_dirs[0])
-            all_texts = self._infer_videos(device_videos)
-            results = []
-            for texts in all_texts:
-                candidates = CaptionCandidates(s1=texts[0], s2=texts[1], s3=texts[2])
-                best_key, best_text, _ = select_best(
-                    [("S1", texts[0]), ("S2", texts[1]), ("S3", texts[2])]
-                )
-                results.append(InferenceResult(
-                    candidates=candidates, best_key=best_key, best_text=best_text
-                ))
-            return results
+            return self._dispatch_videos(device_videos)
+
+    def infer_batch_collect(self, handle) -> list:
+        """Materialize an ``infer_batch_dispatch`` handle into results."""
+        results = []
+        for texts in self._collect_videos(handle):
+            candidates = CaptionCandidates(s1=texts[0], s2=texts[1], s3=texts[2])
+            best_key, best_text, _ = select_best(
+                [("S1", texts[0]), ("S2", texts[1]), ("S3", texts[2])]
+            )
+            results.append(InferenceResult(
+                candidates=candidates, best_key=best_key, best_text=best_text
+            ))
+        return results
+
+    def infer_batch(self, frames_dirs) -> list:
+        """Batched multi-video inference — the in-process replacement for the
+        reference's subprocess-per-video batch tool (tools/batch_infer.py:
+        29-73): ONE encoder pass over all videos and grouped decodes whose
+        rows span videos x presets. Returns [InferenceResult, ...]."""
+        return self.infer_batch_collect(self.infer_batch_dispatch(frames_dirs))
 
     def warmup(self, frames_dir: Optional[str] = None) -> float:
         """Trigger compilation of every program the request path needs."""

@@ -60,11 +60,26 @@ def batch_infer(
 
     rows: List[Dict] = []
     retry_engine = None
-    for start in range(0, len(todo), batch_size):
-        chunk = todo[start : start + batch_size]
-        t0 = time.time()
-        results = engine.infer_batch([rec["frames_dir"] for rec in chunk])
-        per_video_s = round((time.time() - t0) / max(len(chunk), 1), 3)
+    chunks = [todo[s : s + batch_size] for s in range(0, len(todo), batch_size)]
+
+    def results_pipelined():
+        """Double-buffered: dispatch chunk N+1 (host decode + async upload +
+        program enqueue) before collecting chunk N, so host work overlaps
+        device compute."""
+        pending = None
+        for chunk in chunks:
+            t0 = time.time()
+            handle = engine.infer_batch_dispatch([rec["frames_dir"] for rec in chunk])
+            if pending is not None:
+                prev_chunk, prev_handle, prev_t0 = pending
+                yield prev_chunk, engine.infer_batch_collect(prev_handle), time.time() - prev_t0
+            pending = (chunk, handle, t0)
+        if pending is not None:
+            prev_chunk, prev_handle, prev_t0 = pending
+            yield prev_chunk, engine.infer_batch_collect(prev_handle), time.time() - prev_t0
+
+    for chunk, results, elapsed in results_pipelined():
+        per_video_s = round(elapsed / max(len(chunk), 1), 3)
         for rec, res in zip(chunk, results):
             result = res.to_api_dict()
             if not any(result[k] for k in ("S1", "S2", "S3")):
