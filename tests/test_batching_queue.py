@@ -10,17 +10,23 @@ from video_caption_tpu.server.services.batching_queue import BatchingQueue
 
 
 class RecordingEngine:
-    """Engine stub recording batch sizes."""
+    """Engine stub recording batch sizes (dispatch/collect API)."""
 
     def __init__(self, fail_on=None):
         self.batches = []
         self.fail_on = fail_on or set()
 
-    def infer_batch(self, dirs):
+    def infer_batch_dispatch(self, dirs):
         self.batches.append(len(dirs))
+        return list(dirs)
+
+    def infer_batch_collect(self, dirs):
         if any(d in self.fail_on for d in dirs):
             raise FileNotFoundError("boom")
         return [f"res:{d}" for d in dirs]
+
+    def infer_batch(self, dirs):
+        return self.infer_batch_collect(self.infer_batch_dispatch(dirs))
 
     def infer(self, d):
         if d in self.fail_on:

@@ -78,26 +78,56 @@ class BatchingQueue:
             size *= 2
         return size
 
+    def _resolve(self, batch, handle, dirs) -> None:
+        try:
+            results = self.engine.infer_batch_collect(handle)[: len(dirs)]
+            for (_, fut), res in zip(batch, results):
+                fut.set_result(res)
+        except Exception as exc:
+            # a bad frames_dir poisons the whole batch; fall back to
+            # per-request execution so one 404 doesn't fail neighbors
+            log.info("batched inference failed (%s); retrying per-request", exc)
+            for d, fut in batch:
+                try:
+                    fut.set_result(self.engine.infer(d))
+                except Exception as single_exc:
+                    fut.set_exception(single_exc)
+
     def _run(self) -> None:
+        # double-buffered under sustained load: dispatch batch N+1 (host JPEG
+        # decode + upload + enqueue) before collecting batch N's results; when
+        # the queue idles, resolve immediately so latency stays bounded
+        pending = None
         while not self._stop.is_set():
             batch = self._collect()
             if not batch:
+                if pending is not None:
+                    self._resolve(*pending)
+                    pending = None
                 continue
             dirs = [d for d, _ in batch]
             padded = dirs + [dirs[-1]] * (self._bucket_size(len(dirs)) - len(dirs))
             try:
-                results = self.engine.infer_batch(padded)[: len(dirs)]
-                for (_, fut), res in zip(batch, results):
-                    fut.set_result(res)
+                handle = self.engine.infer_batch_dispatch(padded)
             except Exception as exc:
-                # a bad frames_dir poisons the whole batch; fall back to
-                # per-request execution so one 404 doesn't fail neighbors
-                log.info("batched inference failed (%s); retrying per-request", exc)
+                log.info("batch dispatch failed (%s); retrying per-request", exc)
+                if pending is not None:
+                    self._resolve(*pending)
+                    pending = None
                 for d, fut in batch:
                     try:
                         fut.set_result(self.engine.infer(d))
                     except Exception as single_exc:
                         fut.set_exception(single_exc)
+                continue
+            if pending is not None:
+                self._resolve(*pending)
+            pending = (batch, handle, dirs)
+            if self._queue.empty():
+                self._resolve(*pending)
+                pending = None
+        if pending is not None:  # drain on shutdown
+            self._resolve(*pending)
 
 
 _QUEUES = {}
