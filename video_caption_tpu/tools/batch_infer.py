@@ -34,6 +34,7 @@ def batch_infer(
     limit: int = 0,
     split: Optional[str] = None,
     batch_size: int = 8,
+    engine=None,
 ) -> List[Dict]:
     from video_caption_tpu.config import default_inference_config
     from video_caption_tpu.engine import InferenceEngine
@@ -43,7 +44,8 @@ def batch_infer(
     if ckpt:
         overrides["ckpt"] = ckpt
     config = default_inference_config(**overrides)
-    engine = InferenceEngine(config)
+    if engine is None:
+        engine = InferenceEngine(config)
 
     records = json.loads(Path(ann_path).read_text(encoding="utf-8"))
     todo = []
