@@ -62,10 +62,17 @@ class InferenceService:
         engine = MODEL_REGISTRY.get_engine(config)
         if _BATCH_SERVING:
             # coalesce concurrent requests into one batched device program;
-            # the queue serializes device access, replacing the semaphore
+            # the queue serializes device access, replacing the semaphore.
+            # max_batch trades throughput for tail latency (requests ride the
+            # whole batch's service time).
             from video_caption_tpu.server.services.batching_queue import get_queue
 
-            result = get_queue(engine).infer(str(frames_dir))
+            queue = get_queue(
+                engine,
+                max_batch=int(os.environ.get("VIDEO_CAPTION_SERVE_MAX_BATCH", "8")),
+                max_wait_ms=float(os.environ.get("VIDEO_CAPTION_SERVE_MAX_WAIT_MS", "5")),
+            )
+            result = queue.infer(str(frames_dir))
         else:
             with DEVICE_TASK_MANAGER.acquire():
                 result = engine.infer(str(frames_dir))
