@@ -393,9 +393,13 @@ class InferenceEngine:
             return self._dispatch_videos(device_videos)
 
     def infer_batch_collect(self, handle) -> list:
-        """Materialize an ``infer_batch_dispatch`` handle into results."""
+        """Materialize an ``infer_batch_dispatch`` handle into results.
+        Device errors (incl. OOM) surface here, not at dispatch — hence the
+        guard on the collect side too."""
         results = []
-        for texts in self._collect_videos(handle):
+        with self.memory.oom_guard():
+            collected = self._collect_videos(handle)
+        for texts in collected:
             candidates = CaptionCandidates(s1=texts[0], s2=texts[1], s3=texts[2])
             best_key, best_text, _ = select_best(
                 [("S1", texts[0]), ("S2", texts[1]), ("S3", texts[2])]
