@@ -103,3 +103,27 @@ def test_cuda_era_fields_accepted(server, frames_dir):
         "use_cupy_prefix_projector": False,
     })
     assert status == 200, body
+
+
+def test_schemas_import_and_validate():
+    """Pydantic schema definitions are valid even without fastapi installed."""
+    from video_caption_tpu.server.schemas import HealthResponse, InferRequest, InferResponse
+
+    req = InferRequest(frames_dir="/x")
+    assert req.prefix_len == 4 and req.num_frames == 8
+    assert req.preset3 == "natural"
+    # CUDA-era fields default to None (accepted-and-ignored contract)
+    assert req.device is None and req.vit_enable_torch_compile is None
+    resp = InferResponse(S1="a", S2="b", S3="c", BEST={"key": "S1", "text": "a"})
+    assert resp.BEST["key"] == "S1"
+    assert HealthResponse(status="ok").status == "ok"
+
+
+def test_fastapi_app_assembles():
+    """Route mounting and handler wiring (runs only where fastapi exists)."""
+    pytest.importorskip("fastapi")
+    from video_caption_tpu.server.app import create_app
+
+    app = create_app()
+    paths = {r.path for r in app.routes}
+    assert {"/infer", "/api/v1/infer", "/health", "/api/v1/health"} <= paths
