@@ -132,3 +132,48 @@ def test_early_stop_matches_scan(decoder, beams):
     base = np.asarray(generate(params, gcfg, emb, dp))
     es = np.asarray(generate(params, gcfg, emb, dataclasses.replace(dp, early_stop=True)))
     np.testing.assert_array_equal(base, es)
+
+
+def test_fused_and_unfused_dispatch_match(tiny_cfg, tiny_params, tmp_path):
+    """The fused single-program request path and the async per-group path
+    must produce identical captions for deterministic presets."""
+    import dataclasses
+
+    from PIL import Image
+
+    from video_caption_tpu.config import default_inference_config
+    from video_caption_tpu.engine import InferenceEngine
+
+    class TinyTok:
+        eos_token_id = 127
+        bos_token_id = 127
+        pad_token_id = 127
+        vocab_size = 128
+
+        def encode(self, text):
+            return [b % 127 for b in text.encode()] or [1]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(int(i)) for i in ids if int(i) != 127)
+
+    d = tmp_path / "f"
+    d.mkdir()
+    rng = np.random.RandomState(7)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)).save(
+            d / f"frame_{i:05d}.jpg"
+        )
+
+    base = default_inference_config(
+        ckpt="missing.pt", num_frames=2, image_size=32,
+        preset1="precise", preset2="precise", preset3="precise",
+        prompt3="Another:",
+    )
+    outs = {}
+    for fused in (False, True):
+        cfg = dataclasses.replace(base, compile=dataclasses.replace(
+            base.compile, fuse_request_program=fused))
+        eng = InferenceEngine(cfg, params=tiny_params, model_cfg=tiny_cfg)
+        eng.tokenizer = TinyTok()
+        outs[fused] = eng.infer(str(d)).to_api_dict()
+    assert outs[True] == outs[False]
