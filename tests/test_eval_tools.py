@@ -248,3 +248,45 @@ def test_extract_features_with_injected_encoder(tmp_path):
     norms = np.linalg.norm(feats, axis=1)
     np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
     assert (tmp_path / "out" / "features.npy").exists()
+
+
+def test_plot_functions(tmp_path):
+    import csv as _csv
+
+    from video_caption_tpu.scripts.plot_results import plot_benchmark_stages, plot_bleu_compare, plot_loss
+
+    run = tmp_path / "run"
+    run.mkdir()
+    with (run / "events.csv").open("w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(["step", "loss"])
+        for i in range(10):
+            w.writerow([i + 1, 1.0 / (i + 1)])
+    out = plot_loss(str(run))
+    assert Path(out).exists()
+
+    out2 = plot_bleu_compare({"corpus_bleu_a": 10.0, "corpus_bleu_b": 12.0,
+                              "num_samples": 5}, str(tmp_path / "bleu.png"))
+    assert Path(out2).exists()
+
+    summary = {k: {"mean": 1.0} for k in
+               ("Preprocess_Latency", "ViT_Latency", "Cross_Modal_Alignment", "GPT2_Latency")}
+    sj = tmp_path / "s.json"
+    sj.write_text(json.dumps(summary))
+    out3 = plot_benchmark_stages(str(sj), str(tmp_path / "stages.png"))
+    assert Path(out3).exists()
+
+
+def test_human_eval_ratings_plot(tmp_path):
+    import csv as _csv
+
+    from video_caption_tpu.tools.human_eval import RATING_AXES, plot_ratings
+
+    path = tmp_path / "ratings.csv"
+    with path.open("w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(["video_id", "caption", *RATING_AXES])
+        for i in range(6):
+            w.writerow([f"v{i}", "cap", 5, 4, 3, 5])
+    out = plot_ratings(str(path), str(tmp_path / "r.png"))
+    assert Path(out).exists()

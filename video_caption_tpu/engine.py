@@ -7,12 +7,17 @@ FastAPI, HTTP, sessions, or UI (same layering rule as core/engine.py:23-25).
 TPU-first improvements over the reference pipeline:
 
 - the ViT encoder runs ONCE per request; the reference re-encodes the video
-  for every preset (core/engine.py:40-42 inside a 3x loop) — the visual
-  prefix is preset-independent, so we compute it a single time,
-- each (preset, prompt-length) pair is a separately compiled XLA program,
-  cached on the engine; first call compiles, every later call replays,
+  for every preset (core/engine.py:40-42 inside a 3x loop),
+- presets with identical decode policies decode as ONE left-padded batched
+  program (the two beam presets share one program); multi-video batches add
+  their rows to the same programs,
 - decode runs as a fixed-shape scan with a static KV cache — no per-token
-  Python, no dynamic shapes, no recompilation between requests.
+  Python, no dynamic shapes, no recompilation between requests,
+- frames ship as uint8 (normalize on device) through a pipelined chunked
+  upload; batched inference exposes dispatch/collect halves so callers
+  double-buffer host work against device compute,
+- inference parameters are stored bf16 (the decode loop is weight-bandwidth
+  bound); optional int8 weight-only quantization for the decoder.
 """
 from __future__ import annotations
 
