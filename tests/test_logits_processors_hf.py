@@ -66,3 +66,14 @@ def test_min_new_tokens_bans_eos_until_threshold():
     assert banned[0, 63] == -np.inf
     free = np.asarray(lp.apply_min_new_tokens(logits, jnp.int32(5), 5, eos_id=63))
     assert np.isfinite(free[0, 63])
+
+
+def test_top_k_matches_hf():
+    from transformers import TopKLogitsWarper
+
+    logits = _rand_logits(3, 4)
+    ours = np.asarray(lp.apply_top_k(jnp.asarray(logits), 5))
+    hf = TopKLogitsWarper(5)(None, torch.tensor(logits)).numpy()
+    np.testing.assert_array_equal(np.isinf(ours), np.isinf(hf))
+    kept = ~np.isinf(hf)
+    np.testing.assert_allclose(ours[kept], hf[kept], rtol=1e-6)

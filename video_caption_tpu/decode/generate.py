@@ -34,6 +34,7 @@ class DecodeParams:
     num_beams: int = 1
     temperature: float = 1.0
     top_p: float = 1.0
+    top_k: int = 0      # 0 = disabled (HF warper order: top_k before top_p)
     no_repeat_ngram_size: int = 3
     repetition_penalty: float = 1.1
     min_new_tokens: int = 8
@@ -113,6 +114,7 @@ def greedy_or_sample(
         logits = _process_logits(last_logits, generated, t, dp)
         if dp.do_sample:
             logits = lp.apply_temperature(logits, dp.temperature)
+            logits = lp.apply_top_k(logits, dp.top_k)
             logits = lp.apply_top_p(logits, dp.top_p)
             rng, sub = jax.random.split(rng)
             token = jax.random.categorical(sub, logits, axis=-1)

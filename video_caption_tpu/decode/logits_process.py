@@ -95,6 +95,16 @@ def apply_temperature(logits: jax.Array, temperature: float) -> jax.Array:
     return logits / jnp.float32(temperature)
 
 
+def apply_top_k(logits: jax.Array, top_k: int) -> jax.Array:
+    """Keep only the top_k logits per row (HF TopKLogitsWarper)."""
+    if top_k <= 0:
+        return logits
+    v = logits.shape[-1]
+    k = min(top_k, v)
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, jnp.float32(-jnp.inf), logits)
+
+
 def apply_top_p(logits: jax.Array, top_p: float, nucleus_cap: int = 2048) -> jax.Array:
     """Nucleus filtering (HF TopPLogitsWarper, min_tokens_to_keep=1).
 
