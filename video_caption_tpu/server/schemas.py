@@ -10,14 +10,33 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
-from pydantic import BaseModel, Field
+from pydantic import BaseModel, Field, create_model
 
 from video_caption_tpu.config import default_inference_config
 
 _DEFAULT = default_inference_config()
 
+# CUDA-era compatibility fields (server/schemas.py:12-41 in the reference):
+# accepted so old clients keep working, ignored-with-log by the service layer
+# (inference_service._IGNORED_CUDA_FIELDS enumerates the same names).
+_CUDA_ERA_FIELDS = dict.fromkeys(
+    (
+        "vit_enable_fp16", "vit_enable_attention_fastpath", "vit_prefer_channels_last",
+        "vit_enable_torch_compile", "vit_enable_mlp_bias_gelu_fusion",
+        "vit_enable_residual_layernorm_fusion", "vit_enable_cupy_fused_pool",
+        "vit_cupy_pool_force_fp16", "use_cupy_prefix_projector", "cupy_prefix_force_fp16",
+    ),
+    (Optional[bool], None),
+)
+_CUDA_ERA_FIELDS["vit_torch_compile_mode"] = (Optional[str], None)
+_CUDA_ERA_FIELDS["device"] = (
+    Optional[str], Field(default=None, description="Ignored on TPU"),
+)
 
-class InferRequest(BaseModel):
+_CudaCompatBase = create_model("_CudaCompatBase", **_CUDA_ERA_FIELDS)
+
+
+class InferRequest(_CudaCompatBase):
     frames_dir: str = Field(..., description="Directory containing frame_*.jpg")
     ckpt: str = Field(default=_DEFAULT.ckpt, description="Checkpoint path (torch .pt or orbax dir)")
     stage: str = Field(default=_DEFAULT.stage, description="Reserved for compatibility")
@@ -39,19 +58,6 @@ class InferRequest(BaseModel):
     compute_dtype: str = Field(default=_DEFAULT.compile.dtype, description="bfloat16|float32")
     use_pallas_fused_pool: bool = Field(default=_DEFAULT.compile.use_pallas_fused_pool)
     use_pallas_prefix_projector: bool = Field(default=_DEFAULT.compile.use_pallas_prefix_projector)
-    # accepted-and-ignored CUDA-era compatibility fields
-    device: Optional[str] = Field(default=None, description="Ignored on TPU")
-    vit_enable_fp16: Optional[bool] = None
-    vit_enable_attention_fastpath: Optional[bool] = None
-    vit_prefer_channels_last: Optional[bool] = None
-    vit_enable_torch_compile: Optional[bool] = None
-    vit_torch_compile_mode: Optional[str] = None
-    vit_enable_mlp_bias_gelu_fusion: Optional[bool] = None
-    vit_enable_residual_layernorm_fusion: Optional[bool] = None
-    vit_enable_cupy_fused_pool: Optional[bool] = None
-    vit_cupy_pool_force_fp16: Optional[bool] = None
-    use_cupy_prefix_projector: Optional[bool] = None
-    cupy_prefix_force_fp16: Optional[bool] = None
 
 
 class InferResponse(BaseModel):
