@@ -30,6 +30,7 @@ def hf_and_jax():
     cfg = vt.ViTConfig(
         image_size=32, patch_size=16, embed_dim=64, depth=2, num_heads=4,
         mlp_ratio=4, out_dim=16, dtype=jnp.float32,
+        gelu_approx=False,  # HF ViT hidden_act="gelu" is exact erf GELU
     )
     return hf, params, cfg
 

@@ -88,6 +88,12 @@ def load_params(config: InferenceConfig, model_cfg: cm.CaptionModelConfig, seed:
         if restored is not None:
             log.info("loaded orbax checkpoint %s", ckpt)
             return restored
+        # An existing-but-unrestorable checkpoint must never silently serve
+        # random weights: fail loudly instead.
+        raise RuntimeError(
+            f"checkpoint {ckpt} exists but could not be restored; refusing to "
+            "serve randomly initialized parameters (see log for the orbax error)"
+        )
     log.warning("checkpoint %s not found; using randomly initialized parameters", ckpt)
     return init
 

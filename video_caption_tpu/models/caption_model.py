@@ -33,6 +33,10 @@ class CaptionModelConfig:
     prefix_len: int = 4
     video_dim: int = 256
     cond_mode: str = "prefix"     # 'prefix' | 'bos' (text_decoder.py:19)
+    proj_hidden: int = 0
+    """MLP adapter width (reference caption_model.py proj_hidden>0:
+    Linear(video_dim, h) -> ReLU -> Linear(h, video_dim) after the encoder;
+    0 = identity, the production default)."""
     ln_scale: float = 0.6
     in_weight: float = 0.4
     use_pallas_projector: bool = False
@@ -66,6 +70,18 @@ def init_caption_model(key: jax.Array, cfg: CaptionModelConfig) -> Params:
             "w": init(k_proj, (cfg.vit.out_dim, cfg.video_dim), jnp.float32),
             "b": jnp.zeros((cfg.video_dim,)),
         }
+    if cfg.proj_hidden > 0:  # MLP adapter (reference caption_model.py proj_hidden>0)
+        k_m1, k_m2 = jax.random.split(k_proj)
+        params["proj_mlp"] = {
+            "fc1": {
+                "w": init(k_m1, (cfg.video_dim, cfg.proj_hidden), jnp.float32),
+                "b": jnp.zeros((cfg.proj_hidden,)),
+            },
+            "fc2": {
+                "w": init(k_m2, (cfg.proj_hidden, cfg.video_dim), jnp.float32),
+                "b": jnp.zeros((cfg.video_dim,)),
+            },
+        }
     return params
 
 
@@ -74,6 +90,10 @@ def encode_video(params: Params, video: jax.Array, cfg: CaptionModelConfig) -> j
     emb = vt.vit_encode(params["encoder"], video, cfg.vit)
     if "proj" in params:
         emb = emb @ params["proj"]["w"] + params["proj"]["b"]
+    if "proj_mlp" in params:  # fc1 -> ReLU -> fc2 (reference caption_model.py:61-66)
+        m = params["proj_mlp"]
+        h = jax.nn.relu(emb @ m["fc1"]["w"] + m["fc1"]["b"])
+        emb = h @ m["fc2"]["w"] + m["fc2"]["b"]
     return emb
 
 

@@ -45,6 +45,21 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     except TypeError:
         state = torch.load(path, map_location="cpu")
     except Exception:
+        # weights_only=False executes arbitrary pickle code — require explicit
+        # opt-in rather than silently mirroring the reference's fallback chain.
+        import os
+
+        if os.environ.get("VCT_ALLOW_UNSAFE_PICKLE", "") != "1":
+            raise RuntimeError(
+                f"checkpoint {path} failed the safe (weights_only=True) load; "
+                "loading it requires unpickling arbitrary code. Set "
+                "VCT_ALLOW_UNSAFE_PICKLE=1 to allow this for trusted files."
+            )
+        log.warning(
+            "UNSAFE LOAD: %s is being unpickled with weights_only=False "
+            "(VCT_ALLOW_UNSAFE_PICKLE=1) — this executes code from the file",
+            path,
+        )
         state = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(state, dict) and "model_state" in state:
         state = state["model_state"]
@@ -242,5 +257,12 @@ def merge_params(init: Dict[str, Any], converted: Dict[str, Any]) -> Dict[str, A
                 out[k] = jnp.asarray(v, jnp.float32)
         return out
 
-    merged = overlay(init, {k: v for k, v in converted.items() if k in init or k != "proj_mlp"})
+    if "proj_mlp" in converted and "proj_mlp" not in init:
+        log.warning(
+            "checkpoint carries an MLP adapter (proj.0/proj.2) but the model "
+            "was configured with proj_hidden=0 — adapter weights will be "
+            "loaded anyway and applied by encode_video; set "
+            "CaptionModelConfig.proj_hidden to silence this"
+        )
+    merged = overlay(init, converted)
     return merged

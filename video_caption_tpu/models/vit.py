@@ -44,6 +44,12 @@ class ViTConfig:
     out_dim: int = 256
     dtype: Any = jnp.bfloat16  # compute dtype
     use_pallas_pool: bool = False
+    gelu_approx: bool = True
+    """tanh-approx GELU in the MLP. The reference mutates timm's exact GELU to
+    approximate='tanh' at construction (video_encoder.py:124-133,
+    enable_mlp_bias_gelu_fusion default True), so its inference path runs
+    tanh-GELU — matching it is required for encoder parity. Set False for
+    parity with stock timm/HF ViT (exact erf GELU)."""
 
     @property
     def num_patches(self) -> int:
@@ -139,7 +145,7 @@ def _block(x: jax.Array, blk: Params, cfg: ViTConfig) -> jax.Array:
     x = x + _attention(_layer_norm(x, blk["ln1_scale"], blk["ln1_bias"]), blk, cfg)
     y = _layer_norm(x, blk["ln2_scale"], blk["ln2_bias"])
     y = y @ blk["fc1_w"].astype(x.dtype) + blk["fc1_b"].astype(x.dtype)
-    y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
+    y = jax.nn.gelu(y.astype(jnp.float32), approximate=cfg.gelu_approx).astype(x.dtype)
     y = y @ blk["fc2_w"].astype(x.dtype) + blk["fc2_b"].astype(x.dtype)
     return x + y
 

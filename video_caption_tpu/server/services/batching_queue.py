@@ -18,6 +18,7 @@ from __future__ import annotations
 import logging
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import List, Tuple
 
@@ -57,10 +58,15 @@ class BatchingQueue:
         if item[1] is None:
             return []
         batch = [item]
-        deadline = self.max_wait_s
+        # absolute deadline: total coalescing delay is bounded by max_wait_ms
+        # regardless of arrival pattern (not reset per arriving request)
+        deadline = time.monotonic() + self.max_wait_s
         while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
             try:
-                nxt = self._queue.get(timeout=deadline)
+                nxt = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
             if nxt[1] is None:

@@ -45,21 +45,32 @@ def save_checkpoint(
 
 
 def restore_params(path: str, like: Any) -> Optional[Any]:
-    """Restore a parameter pytree shaped like ``like``; None if absent."""
+    """Restore a parameter pytree shaped like ``like``; None if absent.
+
+    The saved payload may be ``{"params"}`` (mapper trainer) or
+    ``{"params", "opt_state"}`` (training/loop.py CLIs) — the abstract
+    restore tree is built from the checkpoint's own metadata so both
+    shapes restore cleanly instead of tripping a tree-structure mismatch.
+    """
     import orbax.checkpoint as ocp
 
     path = Path(path).absolute()
     if not path.exists():
         return None
     ckptr = ocp.StandardCheckpointer()
-    abstract = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), {"params": like}
-    )
     try:
+        meta = ckptr.metadata(path).item_metadata.tree
+        abstract = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype), meta
+        )
         restored = ckptr.restore(path, abstract)
+        if "params" not in restored:
+            log.error("checkpoint %s has no 'params' entry (keys: %s)",
+                      path, sorted(restored))
+            return None
         return restored["params"]
     except Exception as exc:
-        log.warning("orbax restore failed for %s: %s", path, exc)
+        log.error("orbax restore FAILED for existing checkpoint %s: %s", path, exc)
         return None
 
 
