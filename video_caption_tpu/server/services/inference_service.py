@@ -7,7 +7,7 @@ import logging
 from pathlib import Path
 from typing import Dict
 
-from video_caption_tpu.config import InferenceConfig, default_inference_config
+from video_caption_tpu.config import InferenceConfig, serving_inference_config
 from video_caption_tpu.server.schemas import InferRequest
 from video_caption_tpu.server.services.model_registry import MODEL_REGISTRY
 from video_caption_tpu.server.services.task_manager import DEVICE_TASK_MANAGER
@@ -28,7 +28,7 @@ def request_to_config(req: InferRequest) -> InferenceConfig:
     ignored = [f for f in _IGNORED_CUDA_FIELDS if getattr(req, f) is not None]
     if ignored:
         log.info("ignoring CUDA-era request fields (XLA handles these): %s", ignored)
-    base = default_inference_config()
+    base = serving_inference_config()
     compile_cfg = dataclasses.replace(
         base.compile,
         dtype=req.compute_dtype,
