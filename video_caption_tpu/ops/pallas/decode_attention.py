@@ -73,6 +73,13 @@ def decode_attention(
 ) -> Optional[jax.Array]:
     """Returns [B, nh, hd] or None (caller falls back to the XLA einsum path)."""
     global last_backend, last_error
+    from video_caption_tpu.ops.pallas.platform import on_tpu
+
+    if not on_tpu():
+        # Mosaic lowering on non-TPU backends raises at the enclosing jit's
+        # compile, past this try/except — gate before building the kernel
+        last_backend, last_error = "xla-fallback", "non-TPU backend"
+        return None
     if q.ndim != 3 or k_cache.shape[:2] != valid.shape:
         last_backend, last_error = "xla-fallback", "unsupported shapes"
         return None

@@ -70,6 +70,13 @@ def fused_pool_temporal(
 ) -> Optional[jax.Array]:
     """[B*T, S, H] -> [B, H] or None (caller falls back to XLA)."""
     global last_backend, last_error
+    from video_caption_tpu.ops.pallas.platform import on_tpu
+
+    if not on_tpu():
+        # a Mosaic kernel inside an outer jit fails at the OUTER compile on
+        # non-TPU backends, escaping this function's try/except — gate early
+        last_backend, last_error = "xla-fallback", "non-TPU backend"
+        return None
     if tokens.ndim != 3 or tokens.shape[0] != batch * frames or mode not in ("cls", "gap"):
         last_backend, last_error = "xla-fallback", "unsupported shape/mode"
         return None

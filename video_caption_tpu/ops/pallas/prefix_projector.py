@@ -61,8 +61,14 @@ def _prefix_project_pallas(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Arra
 def prefix_project(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     """[B, d_in] @ [d_in, d_out] + [d_out]; Pallas when aligned, XLA otherwise."""
     global last_backend, last_error
+    from video_caption_tpu.ops.pallas.platform import on_tpu
+
     d_in, d_out = w.shape
-    if d_in % 128 == 0 and d_out % 128 == 0:
+    if not on_tpu():
+        # Mosaic lowering on non-TPU backends raises at the enclosing jit's
+        # compile, past this try/except — gate before building the kernel
+        last_backend, last_error = "xla-fallback", "non-TPU backend"
+    elif d_in % 128 == 0 and d_out % 128 == 0:
         try:
             out = _prefix_project_pallas(x, w, b)
             last_backend, last_error = "pallas", None
