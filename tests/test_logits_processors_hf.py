@@ -77,3 +77,54 @@ def test_top_k_matches_hf():
     np.testing.assert_array_equal(np.isinf(ours), np.isinf(hf))
     kept = ~np.isinf(hf)
     np.testing.assert_allclose(ours[kept], hf[kept], rtol=1e-6)
+
+
+def test_top_p_cap_boundary_vs_full_sort_oracle():
+    """Pin behavior of the bounded nucleus at/above the cap (VERDICT r1 #10).
+
+    Within the cap the bounded algorithm must EQUAL the full-sort oracle
+    (cap >= vocab); beyond the cap it keeps a subset (the documented
+    truncation deviation) and never keeps anything the oracle drops' complement
+    incorrectly — i.e. kept set is exactly the oracle's top-cap intersection.
+    """
+    rng = np.random.RandomState(7)
+    v = 512
+    # flat-ish distribution so the 0.99 nucleus spans hundreds of tokens
+    logits = (rng.standard_normal((4, v)) * 0.01).astype(np.float32)
+    jl = jnp.asarray(logits)
+
+    oracle = np.asarray(lp.apply_top_p(jl, 0.99, nucleus_cap=v))      # exact
+    kept_oracle = ~np.isinf(oracle)
+    assert kept_oracle.sum(axis=1).min() > 64  # nucleus genuinely exceeds cap
+
+    # cap >= nucleus: identical to the oracle
+    wide = np.asarray(lp.apply_top_p(jl, 0.99, nucleus_cap=v + 128))
+    np.testing.assert_array_equal(np.isinf(wide), np.isinf(oracle))
+
+    # cap < nucleus: kept set == oracle's kept set truncated to the top-cap
+    cap = 64
+    bounded = np.asarray(lp.apply_top_p(jl, 0.99, nucleus_cap=cap))
+    kept_bounded = ~np.isinf(bounded)
+    assert kept_bounded.sum(axis=1).max() <= cap
+    # every kept token is in the oracle's nucleus AND within the top-cap logits
+    for row in range(4):
+        order = np.argsort(-logits[row], kind="stable")
+        top_cap = set(order[:cap].tolist())
+        kb = set(np.nonzero(kept_bounded[row])[0].tolist())
+        ko = set(np.nonzero(kept_oracle[row])[0].tolist())
+        assert kb <= ko and kb <= top_cap
+        # kept values pass through unchanged
+        np.testing.assert_allclose(bounded[row][kept_bounded[row]],
+                                   logits[row][kept_bounded[row]])
+
+
+def test_top_p_trained_like_distribution_exact_within_cap():
+    """Peaky (trained-LM-like) logits: nucleus is small, bounded == oracle."""
+    rng = np.random.RandomState(3)
+    v = 2048
+    logits = rng.standard_normal((2, v)).astype(np.float32)
+    logits[:, :8] += 12.0  # sharp head: nucleus fits easily within 64
+    jl = jnp.asarray(logits)
+    oracle = np.asarray(lp.apply_top_p(jl, 0.9, nucleus_cap=v))
+    bounded = np.asarray(lp.apply_top_p(jl, 0.9, nucleus_cap=64))
+    np.testing.assert_array_equal(np.isinf(bounded), np.isinf(oracle))

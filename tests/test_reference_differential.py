@@ -215,3 +215,28 @@ def test_greedy_differential(refstack, our_engine):
         prefix = our_engine.compute_prefix(video)
         our_text = our_engine.generate_once(prefix, prompt, **greedy)
         assert our_text == ref_text, f"greedy mismatch for prompt={prompt!r}"
+
+
+def test_legacy_vit_key_remap_through_reference_state(refstack):
+    """Legacy ``vit.*`` checkpoints (tools/debug_chain.py:48-60) must convert
+    identically to ``encoder.backbone.*`` ones — exercised on the reference's
+    own (timm-named) state dict, not a synthetic fixture (VERDICT r1 #8)."""
+    from video_caption_tpu.models.convert import convert_caption_checkpoint
+
+    state = torch.load(str(refstack["ckpt"]), map_location="cpu")["model_state"]
+    legacy = {}
+    for k, v in state.items():
+        if k.startswith("encoder.backbone."):
+            legacy["vit." + k[len("encoder.backbone."):]] = v
+        else:
+            legacy[k] = v
+
+    cfg = _our_model_cfg(refstack["vocab_size"])
+    a = convert_caption_checkpoint(state, cfg)
+    b = convert_caption_checkpoint(legacy, cfg)
+    import jax
+
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb) and len(la) > 10
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -103,13 +103,25 @@ def decode_group_bytes(params, gcfg, rows: int, num_beams: int,
 # measurement
 # ---------------------------------------------------------------------------
 
+def _sync(out):
+    """Force execution to completion. ``block_until_ready`` is NOT a reliable
+    barrier on every TPU runtime here (measured: returns in ~0.1ms while the
+    program still runs; only a device->host transfer waits), so sync by
+    materializing one element of each output leaf."""
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "ravel"):
+            np.asarray(leaf.ravel()[:1])
+    return out
+
+
 def _timed(fn, trials: int) -> tuple:
-    """(median_seconds, last_result); result is blocked each trial."""
+    """(median_seconds, last_result); result is materialized each trial."""
     times, out = [], None
+    # untimed warmup: deferred compilation can surface at first materialization
+    _sync(fn())
     for _ in range(trials):
         t0 = time.perf_counter()
-        out = fn()
-        jax.block_until_ready(out)
+        out = _sync(fn())
         times.append(time.perf_counter() - t0)
     return statistics.median(times), out
 

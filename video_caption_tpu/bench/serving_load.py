@@ -30,12 +30,14 @@ def run_load(
     frames_dir: str, qps: float, duration_s: float, port: int = 0,
     num_frames: int = 16, max_batch: int = 8,
 ) -> dict:
-    from video_caption_tpu.config import default_inference_config
+    from video_caption_tpu.config import serving_inference_config
     from video_caption_tpu.server.services.model_registry import MODEL_REGISTRY
     from video_caption_tpu.server.stdlib_server import StdlibServer
 
-    # pre-build + warm the engine so load numbers exclude compilation
-    config = default_inference_config(num_frames=num_frames)
+    # pre-build + warm the engine so load numbers exclude compilation.
+    # serving workload = the reference SERVING presets incl. the heavier
+    # "detailed" preset2 (backend_config.py:61-64), not the core default
+    config = serving_inference_config(num_frames=num_frames)
     engine = MODEL_REGISTRY.get_engine(config)
     engine.warmup()
     # compile every batch bucket the queue can dispatch (1, 2, 4, ..., max)
@@ -85,8 +87,17 @@ def run_load(
     wall = time.perf_counter() - start
     srv.stop()
 
+    try:  # name the serving assembly the numbers came through (VERDICT r1 #9)
+        import fastapi  # noqa: F401
+
+        fastapi_available = True
+    except ImportError:
+        fastapi_available = False
     lat_sorted = sorted(latencies)
     result = {
+        "server": "stdlib_server",
+        "fastapi_available": fastapi_available,
+        "workload_presets": [config.preset1, config.preset2, config.preset3],
         "offered_qps": qps,
         "achieved_qps": round(len(latencies) / wall, 3),
         "requests_ok": len(latencies),
