@@ -128,3 +128,52 @@ def test_top_p_trained_like_distribution_exact_within_cap():
     oracle = np.asarray(lp.apply_top_p(jl, 0.9, nucleus_cap=v))
     bounded = np.asarray(lp.apply_top_p(jl, 0.9, nucleus_cap=64))
     np.testing.assert_array_equal(np.isinf(bounded), np.isinf(oracle))
+
+
+def test_fused_top_k_top_p_equals_sequential_and_hf():
+    """apply_top_k_top_p must EXACTLY equal TopK(k) then TopP(p) — both our
+    sequential ops (cap >= vocab, exact mode) and HF's warper chain."""
+    from transformers import TopKLogitsWarper, TopPLogitsWarper
+
+    rng = np.random.RandomState(11)
+    v = 512
+    logits = rng.standard_normal((5, v)).astype(np.float32) * 2.0
+    jl = jnp.asarray(logits)
+
+    fused = np.asarray(lp.apply_top_k_top_p(jl, 50, 0.9))
+    seq = np.asarray(lp.apply_top_p(lp.apply_top_k(jl, 50), 0.9, nucleus_cap=v))
+    np.testing.assert_array_equal(np.isinf(fused), np.isinf(seq))
+    kept = ~np.isinf(seq)
+    np.testing.assert_allclose(fused[kept], seq[kept])
+
+    t = torch.tensor(logits)
+    hf = TopPLogitsWarper(0.9)(None, TopKLogitsWarper(50)(None, t)).numpy()
+    np.testing.assert_array_equal(np.isinf(fused), np.isinf(hf))
+    np.testing.assert_allclose(fused[kept], hf[kept], rtol=1e-6)
+
+    # degenerate modes route to the single warpers
+    only_k = np.asarray(lp.apply_top_k_top_p(jl, 50, 1.0))
+    np.testing.assert_array_equal(only_k, np.asarray(lp.apply_top_k(jl, 50)))
+    only_p = np.asarray(lp.apply_top_k_top_p(jl, 0, 0.9))
+    np.testing.assert_array_equal(only_p, np.asarray(lp.apply_top_p(jl, 0.9)))
+
+
+def test_sample_top_k_top_p_distribution_exact():
+    """k-way shortcut sampling must match the distribution of a full-vocab
+    categorical over the TopK->TopP-filtered logits (histogram over draws)."""
+    import jax
+
+    rng = np.random.RandomState(5)
+    logits = jnp.asarray(rng.standard_normal((1, 64)).astype(np.float32) * 2.0)
+    filtered = lp.apply_top_p(lp.apply_top_k(logits, 8), 0.9, nucleus_cap=64)
+    probs_ref = np.asarray(jax.nn.softmax(filtered, axis=-1))[0]
+
+    draws = 4000
+    keys = jax.random.split(jax.random.PRNGKey(0), draws)
+    toks = np.asarray(
+        jax.vmap(lambda k: lp.sample_top_k_top_p(k, logits, 8, 0.9)[0])(keys)
+    )
+    hist = np.bincount(toks, minlength=64) / draws
+    # zero-probability tokens never drawn; kept tokens near reference probs
+    assert np.all(hist[probs_ref == 0] == 0)
+    np.testing.assert_allclose(hist[probs_ref > 0], probs_ref[probs_ref > 0], atol=0.04)

@@ -114,10 +114,15 @@ def greedy_or_sample(
         logits = _process_logits(last_logits, generated, t, dp)
         if dp.do_sample:
             logits = lp.apply_temperature(logits, dp.temperature)
-            logits = lp.apply_top_k(logits, dp.top_k)
-            logits = lp.apply_top_p(logits, dp.top_p)
             rng, sub = jax.random.split(rng)
-            token = jax.random.categorical(sub, logits, axis=-1)
+            if dp.top_k > 0:
+                # k-way sampling: one partial-sort, no [B,V] filter pass or
+                # full-vocab categorical (distribution-exact; see
+                # logits_process.sample_top_k_top_p)
+                token = lp.sample_top_k_top_p(sub, logits, dp.top_k, dp.top_p)
+            else:
+                logits = lp.apply_top_p(logits, dp.top_p)
+                token = jax.random.categorical(sub, logits, axis=-1)
         else:
             token = jnp.argmax(logits, axis=-1)
         token = jnp.where(finished, dp.eos_id, token.astype(jnp.int32))
@@ -167,17 +172,20 @@ def beam_search(
     b, s0, h = inputs_embeds.shape
     k = dp.num_beams
     n = dp.max_new_tokens
-    max_len = s0 + n
     neg_inf = jnp.float32(-1e9)
+    r = b * k
 
-    last_logits, cache, valid, row_len = _prefill(
-        gpt2_params, gpt2_cfg, inputs_embeds, max_len, prefill_mask
+    # prefill ONCE per video at B rows; beams share it read-only (the split
+    # cache: g2.gpt2_beam_step docstring explains why this replaces the
+    # classic gather-the-cache-by-parent step)
+    last_logits, prefill_cache, prefill_valid, row_len = _prefill(
+        gpt2_params, gpt2_cfg, inputs_embeds, s0, prefill_mask
     )
-    # tile to beams: batch-major flatten [B*K, ...]
-    last_logits = jnp.repeat(last_logits, k, axis=0)
-    cache = {key: jnp.repeat(val, k, axis=1) for key, val in cache.items()}
-    valid = jnp.repeat(valid, k, axis=0)
-    row_len_flat = jnp.repeat(row_len, k, axis=0)       # [B*K]
+    last_logits = jnp.repeat(last_logits, k, axis=0)    # [R, V]
+    row_len_flat = jnp.repeat(row_len, k, axis=0)       # [R]
+
+    gen_cache = g2.init_cache(gpt2_cfg, r, n)           # [L, R, N, nh, hd]
+    anc = jnp.zeros((r, n), jnp.int32)                  # ancestry: col j's writer row
 
     beam_scores = jnp.tile(jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), neg_inf)]), (b, 1))
     generated = jnp.full((b, k, n), dp.eos_id, jnp.int32)
@@ -185,7 +193,7 @@ def beam_search(
     fin_seqs = jnp.full((b, k, n), dp.eos_id, jnp.int32)
 
     def step(carry, t):
-        last_logits, cache, valid, beam_scores, generated, fin_scores, fin_seqs = carry
+        last_logits, gen_cache, anc, beam_scores, generated, fin_scores, fin_seqs = carry
         flat_gen = generated.reshape(b * k, n)
         # HF beam semantics: processors run on LOG-SOFTMAX scores (greedy runs
         # them on raw logits) — order matters for repetition penalty.
@@ -223,29 +231,25 @@ def beam_search(
             new_gen, new_token[..., None], t, axis=2
         )
 
-        # reorder cache/valid by parent beam (flat gather over B*K)
+        # beam reorder = permute the tiny ancestry index, NOT the cache
         flat_parent = (new_parent + jnp.arange(b)[:, None] * k).reshape(-1)
-        cache = {key: val[:, flat_parent] for key, val in cache.items()}
-        valid = valid[flat_parent]
-        last_valid_pos = s0 + t
-        valid = jax.lax.dynamic_update_slice(
-            valid, jnp.ones((b * k, 1), jnp.int32), (0, last_valid_pos)
-        )
+        anc = anc[flat_parent]
+        anc = anc.at[:, t].set(jnp.arange(r, dtype=jnp.int32))
 
-        # next-step logits for the reordered beams; position ids count only
-        # real tokens per row (left-padded batching)
-        embeds = gpt2_params["wte"][new_token.reshape(-1)][:, None, :]
-        positions = (row_len_flat + t)[:, None]
-        logits_new, cache = g2.gpt2_forward(
-            gpt2_params, embeds, positions, valid, cache, s0 + t, gpt2_cfg
+        # next-step logits; position ids count only real tokens per row
+        embeds = gpt2_params["wte"][new_token.reshape(-1)]
+        positions = row_len_flat + t
+        logits_new, gen_cache = g2.gpt2_beam_step(
+            gpt2_params, embeds, positions, prefill_cache, prefill_valid,
+            gen_cache, anc, t, k, gpt2_cfg,
         )
         carry = (
-            logits_new[:, -1, :], cache, valid, new_scores, new_gen,
+            logits_new, gen_cache, anc, new_scores, new_gen,
             new_fin_scores, new_fin_seqs,
         )
         return carry, None
 
-    carry = (last_logits, cache, valid, beam_scores, generated, fin_scores, fin_seqs)
+    carry = (last_logits, gen_cache, anc, beam_scores, generated, fin_scores, fin_seqs)
     if dp.early_stop:
         # HF is_done (early_stopping=False): a batch is done when its K
         # finished hypotheses all beat the best running beam's attainable

@@ -21,18 +21,25 @@ def apply_repetition_penalty(
     t: jax.Array,           # scalar int32 — tokens generated so far
     penalty: float,
 ) -> jax.Array:
-    """HF CFG-style penalty: seen & score>0 -> score/p, seen & score<=0 -> score*p."""
+    """HF CFG-style penalty: seen & score>0 -> score/p, seen & score<=0 -> score*p.
+
+    Implemented exactly like HF's RepetitionPenaltyLogitsProcessor — gather
+    the [B,N] seen scores, penalize, scatter back — instead of materializing
+    a [B,V] presence buffer (a 38 MB broadcast+scatter+select per decode step
+    at B=192/V=50257 on the profiler trace). Duplicate seen tokens scatter
+    identical values; not-yet-generated positions scatter out-of-bounds and
+    are dropped."""
     if penalty == 1.0:
         return logits
     b, v = logits.shape
     n = generated.shape[1]
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
-    seen_mask = (pos < t).astype(jnp.float32)
-    presence = jnp.zeros((b, v), jnp.float32)
+    seen = pos < t
     rows = jax.lax.broadcasted_iota(jnp.int32, (b, n), 0)
-    presence = presence.at[rows, generated].add(seen_mask)
-    seen = presence > 0
-    return jnp.where(seen, jnp.where(logits > 0, logits / penalty, logits * penalty), logits)
+    cur = logits[rows, generated]                            # gather [B, N]
+    pen = jnp.where(cur > 0, cur / penalty, cur * penalty)
+    idx = jnp.where(seen, generated, v)                      # OOB => dropped
+    return logits.at[rows, idx].set(pen, mode="drop")
 
 
 def apply_no_repeat_ngram(
@@ -71,8 +78,10 @@ def apply_no_repeat_ngram(
     match = match & valid
     banned_tok = generated[:, ctx:]                          # [B, starts] — token at i+ctx
     rows = jax.lax.broadcasted_iota(jnp.int32, (b, starts), 0)
-    ban = jnp.zeros((b, v), jnp.float32).at[rows, banned_tok].add(match.astype(jnp.float32))
-    return jnp.where(ban > 0, jnp.float32(-jnp.inf), logits)
+    # scatter -inf at matched continuations only (OOB index => dropped);
+    # avoids a [B,V] ban buffer per step
+    ban_idx = jnp.where(match, banned_tok, v)
+    return logits.at[rows, ban_idx].set(jnp.float32(-jnp.inf), mode="drop")
 
 
 def apply_min_new_tokens(
@@ -103,6 +112,59 @@ def apply_top_k(logits: jax.Array, top_k: int) -> jax.Array:
     k = min(top_k, v)
     kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, jnp.float32(-jnp.inf), logits)
+
+
+def apply_top_k_top_p(logits: jax.Array, top_k: int, top_p: float) -> jax.Array:
+    """Fused HF warper chain TopK(k) -> TopP(p) with ONE lax.top_k pass.
+
+    HF applies TopP on the TopK-filtered logits, so the nucleus always lies
+    within the top-k set — softmax over the filtered distribution equals
+    softmax over just the top-k values. EXACT equivalence to the sequential
+    warpers, at one [B,V] partial-sort instead of two (the second of which
+    was the 2048-wide nucleus sort — measured ~7 ms/step at B=64 on v5e).
+    """
+    if top_k <= 0:
+        return apply_top_p(logits, top_p)
+    if top_p >= 1.0:
+        return apply_top_k(logits, top_k)
+    v = logits.shape[-1]
+    k = min(top_k, v)
+    top_vals, _ = jax.lax.top_k(logits, k)                       # descending
+    kth = top_vals[..., -1:]
+    # softmax over the top-k set == softmax over TopK-filtered logits
+    lse = jax.nn.logsumexp(top_vals, axis=-1, keepdims=True)
+    probs = jnp.exp(top_vals - lse)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep_sorted = (cum - probs) < top_p
+    nucleus_thresh = jnp.min(
+        jnp.where(keep_sorted, top_vals, jnp.float32(jnp.inf)), axis=-1, keepdims=True
+    )
+    thresh = jnp.maximum(kth, nucleus_thresh)
+    return jnp.where(logits >= thresh, logits, jnp.float32(-jnp.inf))
+
+
+def sample_top_k_top_p(
+    rng: jax.Array, logits: jax.Array, top_k: int, top_p: float
+) -> jax.Array:
+    """Draw one token per row from the TopK->TopP-filtered distribution
+    WITHOUT materializing filtered [B,V] logits or a [B,V] categorical.
+
+    Distribution-exact shortcut: tokens outside the top-k have zero
+    probability after the warpers, so sampling the k-way renormalized
+    nucleus and mapping through the top-k indices equals a full-vocab
+    categorical over the filtered logits. One [B,V] partial-sort total.
+    """
+    v = logits.shape[-1]
+    k = min(top_k if top_k > 0 else v, v)
+    vals, idxs = jax.lax.top_k(logits, k)                    # [B, k] descending
+    if top_p < 1.0:
+        lse = jax.nn.logsumexp(vals, axis=-1, keepdims=True)
+        probs = jnp.exp(vals - lse)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs) < top_p
+        vals = jnp.where(keep, vals, jnp.float32(-jnp.inf))
+    choice = jax.random.categorical(rng, vals, axis=-1)      # [B] in [0, k)
+    return jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0]
 
 
 def apply_top_p(logits: jax.Array, top_p: float, nucleus_cap: int = 2048) -> jax.Array:
