@@ -36,11 +36,16 @@ import numpy as np
 
 PIPELINE_DEPTH = int(os.environ.get("BENCH_PIPELINE_DEPTH", "4"))
 TRIALS = int(os.environ.get("BENCH_TRIALS", "3"))
-N_DISTINCT_DIRS = 8
+N_DISTINCT_DIRS = 32  # >= default batch: every request in a batch is a distinct video
 
 
-def make_frames_dirs(n_dirs: int, num_frames: int = 40, size=(240, 320)) -> list:
-    """n_dirs DISTINCT dirs of distinct JPEG content."""
+def make_frames_dirs(n_dirs: int, num_frames: int = 40, size=(224, 224)) -> list:
+    """n_dirs DISTINCT dirs of distinct JPEG content.
+
+    224x224 matches the reference's canonical benchmark input: it benches
+    frames from data/processed/msvd (run_profiling.ps1:1-15), and its prep
+    pipeline stores processed frames at 224x224 (scripts/extract_frames.py:
+    28-33, prepare_msvd.py save_frames size=224)."""
     from PIL import Image
 
     dirs = []

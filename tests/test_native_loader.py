@@ -26,11 +26,9 @@ def test_native_matches_pil(jpeg_dir):
     native = load_frames_native(paths, 224)
     assert native is not None and native.shape == (6, 3, 224, 224)
     pil = np.stack([load_image(p, 224) for p in paths])
-    # JPEG decode is bit-identical (both use libjpeg); resampling differs by
-    # fixed-point (PIL) vs float (native) rounding only.
-    err = np.abs(native - pil).max()
-    assert err < 0.05, f"max abs err {err}"
-    assert np.mean(np.abs(native - pil)) < 0.01
+    # JPEG decode is bit-identical (both use libjpeg); the resize reproduces
+    # PIL's fixed-point Resample.c pipeline, so outputs are BIT-EXACT
+    np.testing.assert_array_equal(native, pil)
 
 
 @pytest.mark.skipif(not native_available(), reason="no g++/libjpeg")
@@ -44,7 +42,7 @@ def test_load_video_array_native_toggle(jpeg_dir):
     a = load_video_array(jpeg_dir, num_frames=4, image_size=64, use_native=True)
     b = load_video_array(jpeg_dir, num_frames=4, image_size=64, use_native=False)
     assert a.shape == b.shape == (1, 4, 3, 64, 64)
-    assert np.abs(a - b).max() < 0.05
+    np.testing.assert_array_equal(a, b)  # native path is PIL-bit-exact
 
 
 def test_u8_path_matches_fp32_after_device_normalize(jpeg_dir):
@@ -61,3 +59,29 @@ def test_u8_path_matches_fp32_after_device_normalize(jpeg_dir):
     # u8 quantization costs at most half a pixel step / std
     assert np.abs(normalized - fp32).max() < (0.5 / 255) / 0.2 + 0.05
     assert np.mean(np.abs(normalized - fp32)) < 0.02
+
+
+@pytest.mark.skipif(not native_available(), reason="no g++/libjpeg")
+def test_native_u8_bit_exact_vs_pil_u8(jpeg_dir):
+    from video_caption_tpu.native.loader import load_frames_native_u8
+    from video_caption_tpu.preprocessing.frame_loader import load_image_u8
+
+    paths = sorted(jpeg_dir.glob("frame_*.jpg"))
+    native = load_frames_native_u8(paths, 224)
+    assert native is not None
+    pil = np.stack([load_image_u8(p, 224) for p in paths])
+    np.testing.assert_array_equal(native, pil)
+
+
+@pytest.mark.skipif(not native_available(), reason="no g++/libjpeg")
+def test_native_bit_exact_on_upscale(tmp_path):
+    """Upscale path (support=1, no antialias widening) must also be exact."""
+    from video_caption_tpu.native.loader import load_frames_native_u8
+    from video_caption_tpu.preprocessing.frame_loader import load_image_u8
+
+    rng = np.random.RandomState(3)
+    p = tmp_path / "frame_00000.jpg"
+    Image.fromarray(rng.randint(0, 255, (48, 64, 3), np.uint8)).save(p, quality=95)
+    native = load_frames_native_u8([p], 224)
+    pil = load_image_u8(p, 224)
+    np.testing.assert_array_equal(native[0], pil)

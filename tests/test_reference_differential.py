@@ -105,26 +105,18 @@ def _our_model_cfg(vocab_size):
 
 
 @pytest.fixture(scope="module")
-def our_engine(refstack, monkeypatch_module=None):
-    from video_caption_tpu import native
+def our_engine(refstack):
     from video_caption_tpu.config import InferenceConfig
     from video_caption_tpu.engine import InferenceEngine
 
-    # the native JPEG loader's resize is only approximately PIL-equal; the
-    # reference loads via PIL, so force the PIL path for exactness
-    import video_caption_tpu.native.loader as nl
-
-    orig_u8, orig_f32 = nl.load_frames_native_u8, nl.load_frames_native
-    nl.load_frames_native_u8 = lambda *a, **k: None
-    nl.load_frames_native = lambda *a, **k: None
-
+    # the engine's default native (C++) loader stays ENABLED here: its resize
+    # reproduces PIL's fixed-point Resample.c bit-exactly (test_native_loader),
+    # so the full differential runs through the production fast path
     config = InferenceConfig(
         ckpt=str(refstack["ckpt"]), num_frames=8,
         preset1="precise", preset2="detailed", preset3="precise",
     )
-    engine = InferenceEngine(config, model_cfg=_our_model_cfg(refstack["vocab_size"]))
-    yield engine
-    nl.load_frames_native_u8, nl.load_frames_native = orig_u8, orig_f32
+    return InferenceEngine(config, model_cfg=_our_model_cfg(refstack["vocab_size"]))
 
 
 # ---------------------------------------------------------------------------

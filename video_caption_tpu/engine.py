@@ -360,6 +360,9 @@ class InferenceEngine:
         """Materialize a ``_dispatch_videos`` handle -> texts[v][preset_idx]."""
         outs, group_list, n_pairs, v = handle
         texts = [[""] * n_pairs for _ in range(v)]
+        # one device_get for every group: each separate fetch pays a full
+        # host<->device round trip (tens of ms on a tunneled link)
+        outs = jax.device_get(list(outs))
         for (dp, idxs, _, _), out in zip(group_list, outs):
             arr = np.asarray(out)
             for row in range(arr.shape[0]):

@@ -76,11 +76,29 @@ bool decode_jpeg(const char* path, std::vector<unsigned char>& rgb,
   return true;
 }
 
-// PIL-style coefficient table for one output axis.
+// ---- PIL-bit-exact resampling ---------------------------------------------
+// Reproduces Pillow's Resample.c fixed-point pipeline exactly (BILINEAR =
+// triangle filter, support 1, antialiased): double-precision normalized
+// coefficients quantized to int32 at PRECISION_BITS, int accumulation with a
+// rounding bias, clip8 per pass, and a uint8 intermediate between the
+// horizontal and vertical passes. Output bytes equal
+// PIL.Image.resize((S,S), BILINEAR) bit-for-bit, so the native fast path and
+// the PIL parity path produce IDENTICAL pixels (and therefore identical
+// captions).
+
+constexpr int kPrecisionBits = 32 - 8 - 2;  // PIL Resample.c PRECISION_BITS
+
+inline unsigned char clip8(int in) {
+  if (in >= (1 << kPrecisionBits << 8)) return 255;
+  if (in <= 0) return 0;
+  return static_cast<unsigned char>(in >> kPrecisionBits);
+}
+
+// PIL precompute_coeffs + normalize_coeffs_8bpc for one output axis.
 void build_coeffs(int in_size, int out_size, std::vector<int>& bounds,
-                  std::vector<std::vector<float>>& weights) {
+                  std::vector<std::vector<int>>& weights) {
   const double scale = static_cast<double>(in_size) / out_size;
-  const double filterscale = std::max(scale, 1.0);
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
   const double support = 1.0 * filterscale;  // triangle filter support = 1
   const double ss = 1.0 / filterscale;
   bounds.resize(out_size * 2);
@@ -92,72 +110,101 @@ void build_coeffs(int in_size, int out_size, std::vector<int>& bounds,
     int xmax = static_cast<int>(center + support + 0.5);
     if (xmax > in_size) xmax = in_size;
     const int n = xmax - xmin;
-    std::vector<float>& k = weights[i];
-    k.resize(n);
+    std::vector<double> pre(n);
     double total = 0.0;
     for (int x = 0; x < n; ++x) {
-      double arg = (x + xmin - center + 0.5) * ss;
-      double w = std::fabs(arg) < 1.0 ? 1.0 - std::fabs(arg) : 0.0;
-      k[x] = static_cast<float>(w);
+      const double arg = (x + xmin - center + 0.5) * ss;
+      const double w = std::fabs(arg) < 1.0 ? 1.0 - std::fabs(arg) : 0.0;
+      pre[x] = w;
       total += w;
     }
-    if (total > 0.0) {
-      for (int x = 0; x < n; ++x) k[x] = static_cast<float>(k[x] / total);
+    std::vector<int>& k = weights[i];
+    k.resize(n);
+    for (int x = 0; x < n; ++x) {
+      const double w = total != 0.0 ? pre[x] / total : pre[x];
+      // PIL normalize_coeffs_8bpc rounding
+      k[x] = w < 0 ? static_cast<int>(-0.5 + w * (1 << kPrecisionBits))
+                   : static_cast<int>(0.5 + w * (1 << kPrecisionBits));
     }
     bounds[i * 2] = xmin;
     bounds[i * 2 + 1] = n;
   }
 }
 
-// One frame: decode -> resize (horizontal then vertical, float) -> normalize
-// -> CHW float32.
-bool process_frame(const char* path, int out_size, const float* mean,
-                   const float* stdv, float* out) {
-  std::vector<unsigned char> rgb;
-  int w = 0, h = 0;
-  if (!decode_jpeg(path, rgb, w, h)) return false;
-
+// uint8 [h,w,3] -> uint8 [out,out,3], bit-exact PIL BILINEAR.
+void resize_pil_exact(const std::vector<unsigned char>& rgb, int w, int h,
+                      int out_size, std::vector<unsigned char>& out) {
+  if (w == out_size && h == out_size) {
+    // identity: scale=1 triangle weights are exactly {1, 0} (the canonical
+    // dataset stores 224x224 frames, so this is the serving hot path)
+    out = rgb;
+    return;
+  }
   std::vector<int> xb, yb;
-  std::vector<std::vector<float>> xw, yw;
+  std::vector<std::vector<int>> xw, yw;
   build_coeffs(w, out_size, xb, xw);
   build_coeffs(h, out_size, yb, yw);
+  const int bias = 1 << (kPrecisionBits - 1);
 
-  // horizontal pass: [h, out_size, 3] float
-  std::vector<float> tmp(static_cast<size_t>(h) * out_size * 3);
+  // horizontal pass -> uint8 intermediate (PIL quantizes between passes)
+  std::vector<unsigned char> tmp(static_cast<size_t>(h) * out_size * 3);
   for (int y = 0; y < h; ++y) {
     const unsigned char* src = rgb.data() + static_cast<size_t>(y) * w * 3;
-    float* dst = tmp.data() + static_cast<size_t>(y) * out_size * 3;
+    unsigned char* dst = tmp.data() + static_cast<size_t>(y) * out_size * 3;
     for (int x = 0; x < out_size; ++x) {
       const int xmin = xb[x * 2], n = xb[x * 2 + 1];
-      const std::vector<float>& k = xw[x];
-      float acc[3] = {0.f, 0.f, 0.f};
+      const std::vector<int>& k = xw[x];
+      int acc[3] = {bias, bias, bias};
       for (int j = 0; j < n; ++j) {
         const unsigned char* px = src + static_cast<size_t>(xmin + j) * 3;
         acc[0] += k[j] * px[0];
         acc[1] += k[j] * px[1];
         acc[2] += k[j] * px[2];
       }
-      dst[x * 3 + 0] = acc[0];
-      dst[x * 3 + 1] = acc[1];
-      dst[x * 3 + 2] = acc[2];
+      dst[x * 3 + 0] = clip8(acc[0]);
+      dst[x * 3 + 1] = clip8(acc[1]);
+      dst[x * 3 + 2] = clip8(acc[2]);
     }
   }
 
-  // vertical pass + normalize + CHW
-  const size_t plane = static_cast<size_t>(out_size) * out_size;
+  // vertical pass
+  out.resize(static_cast<size_t>(out_size) * out_size * 3);
   for (int y = 0; y < out_size; ++y) {
     const int ymin = yb[y * 2], n = yb[y * 2 + 1];
-    const std::vector<float>& k = yw[y];
+    const std::vector<int>& k = yw[y];
+    unsigned char* dst = out.data() + static_cast<size_t>(y) * out_size * 3;
     for (int x = 0; x < out_size; ++x) {
-      float acc[3] = {0.f, 0.f, 0.f};
+      int acc[3] = {bias, bias, bias};
       for (int j = 0; j < n; ++j) {
-        const float* px = tmp.data() + (static_cast<size_t>(ymin + j) * out_size + x) * 3;
+        const unsigned char* px =
+            tmp.data() + (static_cast<size_t>(ymin + j) * out_size + x) * 3;
         acc[0] += k[j] * px[0];
         acc[1] += k[j] * px[1];
         acc[2] += k[j] * px[2];
       }
+      dst[x * 3 + 0] = clip8(acc[0]);
+      dst[x * 3 + 1] = clip8(acc[1]);
+      dst[x * 3 + 2] = clip8(acc[2]);
+    }
+  }
+}
+
+// One frame: decode -> PIL-exact resize -> /255 + ImageNet normalize -> CHW
+// float32 (bitwise equal to the PIL fallback path load_image).
+bool process_frame(const char* path, int out_size, const float* mean,
+                   const float* stdv, float* out) {
+  std::vector<unsigned char> rgb;
+  int w = 0, h = 0;
+  if (!decode_jpeg(path, rgb, w, h)) return false;
+  std::vector<unsigned char> resized;
+  resize_pil_exact(rgb, w, h, out_size, resized);
+  const size_t plane = static_cast<size_t>(out_size) * out_size;
+  for (int y = 0; y < out_size; ++y) {
+    for (int x = 0; x < out_size; ++x) {
+      const unsigned char* px =
+          resized.data() + (static_cast<size_t>(y) * out_size + x) * 3;
       for (int c = 0; c < 3; ++c) {
-        float v = std::min(std::max(acc[c], 0.0f), 255.0f) / 255.0f;
+        const float v = static_cast<float>(px[c]) / 255.0f;
         out[c * plane + static_cast<size_t>(y) * out_size + x] =
             (v - mean[c]) / stdv[c];
       }
@@ -166,55 +213,22 @@ bool process_frame(const char* path, int out_size, const float* mean,
   return true;
 }
 
-}  // namespace
-
-namespace {
-
-// uint8 variant of process_frame: resized CHW pixels, no normalization —
-// the device program normalizes (keeps the host->device transfer at 1 byte
-// per pixel, 4x less wire traffic than fp32).
+// uint8 variant: resized CHW pixels, no normalization — the device program
+// normalizes (keeps the host->device transfer at 1 byte per pixel, 4x less
+// wire traffic than fp32).
 bool process_frame_u8(const char* path, int out_size, unsigned char* out) {
   std::vector<unsigned char> rgb;
   int w = 0, h = 0;
   if (!decode_jpeg(path, rgb, w, h)) return false;
-
-  std::vector<int> xb, yb;
-  std::vector<std::vector<float>> xw, yw;
-  build_coeffs(w, out_size, xb, xw);
-  build_coeffs(h, out_size, yb, yw);
-
-  std::vector<float> tmp(static_cast<size_t>(h) * out_size * 3);
-  for (int y = 0; y < h; ++y) {
-    const unsigned char* src = rgb.data() + static_cast<size_t>(y) * w * 3;
-    float* dst = tmp.data() + static_cast<size_t>(y) * out_size * 3;
-    for (int x = 0; x < out_size; ++x) {
-      const int xmin = xb[x * 2], n = xb[x * 2 + 1];
-      const std::vector<float>& k = xw[x];
-      float acc[3] = {0.f, 0.f, 0.f};
-      for (int j = 0; j < n; ++j) {
-        const unsigned char* px = src + static_cast<size_t>(xmin + j) * 3;
-        acc[0] += k[j] * px[0];
-        acc[1] += k[j] * px[1];
-        acc[2] += k[j] * px[2];
-      }
-      dst[x * 3 + 0] = acc[0];
-      dst[x * 3 + 1] = acc[1];
-      dst[x * 3 + 2] = acc[2];
-    }
-  }
+  std::vector<unsigned char> resized;
+  resize_pil_exact(rgb, w, h, out_size, resized);
   const size_t plane = static_cast<size_t>(out_size) * out_size;
   for (int y = 0; y < out_size; ++y) {
-    const int ymin = yb[y * 2], n = yb[y * 2 + 1];
-    const std::vector<float>& k = yw[y];
     for (int x = 0; x < out_size; ++x) {
+      const unsigned char* px =
+          resized.data() + (static_cast<size_t>(y) * out_size + x) * 3;
       for (int c = 0; c < 3; ++c) {
-        float acc = 0.f;
-        for (int j = 0; j < n; ++j) {
-          acc += k[j] * tmp[(static_cast<size_t>(ymin + j) * out_size + x) * 3 + c];
-        }
-        float v = std::min(std::max(acc, 0.0f), 255.0f);
-        out[c * plane + static_cast<size_t>(y) * out_size + x] =
-            static_cast<unsigned char>(v + 0.5f);
+        out[c * plane + static_cast<size_t>(y) * out_size + x] = px[c];
       }
     }
   }

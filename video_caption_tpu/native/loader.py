@@ -42,7 +42,8 @@ def _build_library() -> Optional[ctypes.CDLL]:
     lib_path = cache / f"libvct_loader_{digest}.so"
     if not lib_path.exists():
         cmd = [
-            "g++", "-O3", "-std=c++17", "-shared", "-fPIC", str(_SRC),
+            "g++", "-O3", "-march=native", "-funroll-loops",
+            "-std=c++17", "-shared", "-fPIC", str(_SRC),
             "-o", str(lib_path), "-ljpeg", "-pthread",
         ]
         log.info("building native frame loader: %s", " ".join(cmd))
