@@ -394,7 +394,10 @@ class InferenceEngine:
                 from concurrent.futures import ThreadPoolExecutor
 
                 device_vids = []
-                with ThreadPoolExecutor(max_workers=min(len(frames_dirs), 8)) as pool:
+                import os as _os
+
+                workers = min(len(frames_dirs), max(_os.cpu_count() or 1, 1), 8)
+                with ThreadPoolExecutor(max_workers=workers) as pool:
                     for arr in pool.map(
                         lambda d: load_video_array_u8(
                             d, self.config.num_frames, self.config.image_size
