@@ -34,7 +34,10 @@ class DecodeParams:
     num_beams: int = 1
     temperature: float = 1.0
     top_p: float = 1.0
-    top_k: int = 0      # 0 = disabled (HF warper order: top_k before top_p)
+    top_k: int = 50     # HF GenerationConfig default TopKLogitsWarper(50); the
+                        # reference never passes top_k, so every sampled decode
+                        # it runs carries this warper. 0 = disabled. Only
+                        # consulted when do_sample (HF warper semantics).
     no_repeat_ngram_size: int = 3
     repetition_penalty: float = 1.1
     min_new_tokens: int = 8

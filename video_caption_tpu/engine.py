@@ -166,7 +166,7 @@ class InferenceEngine:
             num_beams=decode_kwargs.get("num_beams", 3),
             temperature=decode_kwargs.get("temperature", 1.0),
             top_p=decode_kwargs.get("top_p", 1.0),
-            top_k=decode_kwargs.get("top_k", 0),
+            top_k=decode_kwargs.get("top_k", 50),  # HF GenerationConfig default
             no_repeat_ngram_size=decode_kwargs.get("no_repeat_ngram_size", 3),
             repetition_penalty=decode_kwargs.get("repetition_penalty", 1.1),
             min_new_tokens=decode_kwargs.get("min_new_tokens", 8),
