@@ -64,26 +64,34 @@ def pipelined_throughput(engine, dirs: list, batch: int, n_batches: int,
                          depth: int) -> float:
     """captions/s with ``depth`` batches in flight: dispatch (host JPEG decode
     + async upload + program enqueue) runs ahead of collect so the wire and
-    the chip stay busy simultaneously rather than alternating."""
+    the chip stay busy simultaneously rather than alternating.
+
+    Steady-state honesty: the timed window covers only batches whose dispatch
+    AND collect both happen inside it — the pipeline prefill is untimed, and
+    the final ``depth`` in-flight batches (whose dispatches were timed but
+    which drain after the window) are not credited. Crediting the drain would
+    overstate throughput by up to n_batches/(n_batches-depth)."""
+    total = n_batches + depth  # prefill + timed batches
     batches = [
         [dirs[(b * batch + i) % len(dirs)] for i in range(batch)]
-        for b in range(n_batches)
+        for b in range(total)
     ]
     inflight: deque = deque()
     next_dispatch = 0
-    # prefill the pipeline (not timed: steady-state measurement)
-    while next_dispatch < min(depth, n_batches):
+    while next_dispatch < min(depth, total):  # untimed prefill
         inflight.append(engine.infer_batch_dispatch(batches[next_dispatch]))
         next_dispatch += 1
     t0 = time.perf_counter()
     collected = 0
-    while inflight:
-        if next_dispatch < n_batches:
-            inflight.append(engine.infer_batch_dispatch(batches[next_dispatch]))
-            next_dispatch += 1
+    while next_dispatch < total:
+        inflight.append(engine.infer_batch_dispatch(batches[next_dispatch]))
+        next_dispatch += 1
         engine.infer_batch_collect(inflight.popleft())
         collected += 1
-    return batch * collected / (time.perf_counter() - t0)
+    elapsed = time.perf_counter() - t0
+    while inflight:  # drain, untimed/uncredited
+        engine.infer_batch_collect(inflight.popleft())
+    return batch * collected / elapsed
 
 
 def main() -> None:

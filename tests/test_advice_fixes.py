@@ -198,3 +198,17 @@ def test_unsafe_pickle_requires_opt_in(tmp_path, monkeypatch):
     monkeypatch.setenv("VCT_ALLOW_UNSAFE_PICKLE", "1")
     state = load_torch_checkpoint(str(path))
     np.testing.assert_allclose(state["w"], 1.0)
+
+
+def test_restore_rejects_wrong_geometry(tmp_path):
+    """A checkpoint from a DIFFERENT model geometry must not restore
+    'successfully' (it would crash later with an opaque XLA shape error)."""
+    params = {"w": jnp.ones((4, 4))}
+    path = tmp_path / "ckpt"
+    save_checkpoint(str(path), params)
+    # wrong shape
+    assert restore_params(str(path), {"w": jnp.zeros((8, 8))}) is None
+    # wrong tree structure
+    assert restore_params(str(path), {"w": jnp.zeros((4, 4)), "b": jnp.zeros(4)}) is None
+    # right geometry still restores
+    assert restore_params(str(path), {"w": jnp.zeros((4, 4))}) is not None

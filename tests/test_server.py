@@ -127,3 +127,19 @@ def test_fastapi_app_assembles():
     app = create_app()
     paths = {r.path for r in app.routes}
     assert {"/infer", "/api/v1/infer", "/health", "/api/v1/health"} <= paths
+
+
+def test_warmup_config_matches_request_path_engine():
+    """serve.py --warmup must warm the SAME engine the request path builds:
+    the registry keys engines by the full config hash, so a preset mismatch
+    (core vs serving defaults) would leave the serving engine cold and pay
+    the full XLA compile inside the first request."""
+    from video_caption_tpu.config import serving_inference_config
+    from video_caption_tpu.server.schemas import InferRequest
+    from video_caption_tpu.server.services.inference_service import request_to_config
+
+    warm_cfg = serving_inference_config()  # what cli/serve.py --warmup builds
+    req_cfg = request_to_config(InferRequest(frames_dir="/tmp/x"))
+    assert warm_cfg.cache_key() == req_cfg.cache_key(), (
+        "warmup and request-path configs hash to different engines"
+    )

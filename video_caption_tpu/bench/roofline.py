@@ -28,7 +28,7 @@ import numpy as np
 _PEAKS = {
     "TPU v5 lite": (197e12, 819e9),   # v5e
     "TPU v5e": (197e12, 819e9),
-    "TPU v5": (459e12, 1228e9),       # v5p
+    "TPU v5": (459e12, 2765e9),       # v5p
     "TPU v4": (275e12, 1228e9),
     "TPU v6 lite": (918e12, 1640e9),  # v6e / Trillium
     "TPU v6e": (918e12, 1640e9),
@@ -180,8 +180,11 @@ def measure_roofline(engine, batch: int = 16, trials: int = 5,
         ids = jnp.asarray(np.tile(ids_arr, (batch, 1)))
         mask = jnp.asarray(np.tile(mask_arr, (batch, 1)))
 
-        def run(pr=prefix_rows, i=ids, m=mask, d=dp):
-            engine._rng, key = jax.random.split(engine._rng)
+        rng = jax.random.PRNGKey(hash(("roofline", gi)) & 0x7FFFFFFF)
+
+        def run(pr=prefix_rows, i=ids, m=mask, d=dp, key=rng):
+            # throwaway key: must NOT consume engine._rng (would shift the
+            # engine's sampled outputs for subsequent seeded inferences)
             return generate_prefixed(engine.params["decoder"], mc.gpt2, pr, i, m, d, key)
 
         t_g, _ = _timed(run, trials)

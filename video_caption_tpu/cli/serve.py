@@ -16,10 +16,14 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     if args.warmup:
-        from video_caption_tpu.config import default_inference_config
+        from video_caption_tpu.config import serving_inference_config
         from video_caption_tpu.server.services.model_registry import MODEL_REGISTRY
 
-        engine = MODEL_REGISTRY.get_engine(default_inference_config())
+        # must match the config the request path builds (serving presets,
+        # inference_service.request_to_config) — the registry keys engines by
+        # the FULL config hash, so warming the core-default config would leave
+        # the actual serving engine cold
+        engine = MODEL_REGISTRY.get_engine(serving_inference_config())
         secs = engine.warmup()
         print(f"warmup compile finished in {secs:.1f}s")
 

@@ -32,8 +32,23 @@ _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def _build_library() -> Optional[ctypes.CDLL]:
+    import platform
+
     source = _SRC.read_text()
-    digest = hashlib.sha256(source.encode()).hexdigest()[:16]
+    # key = source + flags + machine: -march=native output is CPU-specific, so
+    # a cache dir shared across heterogeneous hosts (NFS) must not serve a
+    # library built for another machine's ISA (SIGILL), and flag changes must
+    # invalidate the cache
+    cmd_flags = "-O3 -march=native -funroll-loops"
+    cpu_id = platform.machine()
+    try:  # -march=native differs per CPU model; key on the host CPU identity
+        for line in open("/proc/cpuinfo"):
+            if line.startswith(("model name", "flags")):
+                cpu_id += line
+                break
+    except OSError:
+        pass
+    digest = hashlib.sha256((source + cmd_flags + cpu_id).encode()).hexdigest()[:16]
     cache = Path(os.environ.get(
         "VIDEO_CAPTION_NATIVE_CACHE",
         os.path.expanduser("~/.cache/video_caption_tpu/native"),
@@ -42,7 +57,7 @@ def _build_library() -> Optional[ctypes.CDLL]:
     lib_path = cache / f"libvct_loader_{digest}.so"
     if not lib_path.exists():
         cmd = [
-            "g++", "-O3", "-march=native", "-funroll-loops",
+            "g++", *cmd_flags.split(),
             "-std=c++17", "-shared", "-fPIC", str(_SRC),
             "-o", str(lib_path), "-ljpeg", "-pthread",
         ]

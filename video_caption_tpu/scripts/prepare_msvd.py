@@ -268,7 +268,7 @@ def prepare_hf(
                 log.warning("skipping %s: %s", ex.get("video_id", "?"), exc)
                 continue
         ann = split_dir / "annotations.json"
-        ann.write_text(json.dumps(records, ensure_ascii=False, indent=2))
+        ann.write_text(json.dumps(records, ensure_ascii=False, indent=2), encoding="utf-8")
         counts[split_name] = len(records)
     log.info("HF prep split sizes: %s", counts)
     return counts

@@ -68,7 +68,25 @@ def restore_params(path: str, like: Any) -> Optional[Any]:
             log.error("checkpoint %s has no 'params' entry (keys: %s)",
                       path, sorted(restored))
             return None
-        return restored["params"]
+        params = restored["params"]
+        # geometry guard: a checkpoint from a different model must not restore
+        # "successfully" and blow up later with an opaque XLA shape error
+        want = jax.tree.structure(like)
+        got = jax.tree.structure(params)
+        if want != got:
+            log.error("checkpoint %s tree structure does not match the model "
+                      "(%s vs %s)", path, got, want)
+            return None
+        mismatched = [
+            f"{np.shape(g)} vs expected {np.shape(w)}"
+            for g, w in zip(jax.tree.leaves(params), jax.tree.leaves(like))
+            if tuple(np.shape(g)) != tuple(np.shape(w))
+        ]
+        if mismatched:
+            log.error("checkpoint %s has %d shape-mismatched leaves (first: %s)",
+                      path, len(mismatched), mismatched[0])
+            return None
+        return params
     except Exception as exc:
         log.error("orbax restore FAILED for existing checkpoint %s: %s", path, exc)
         return None
