@@ -112,6 +112,12 @@ def main() -> None:
         workload = "core"
         cfg = InferenceConfig(ckpt="checkpoints/msvd_mapper_finetune_v2.pt", num_frames=16)
     engine = InferenceEngine(cfg)
+    # the HEADLINE is cold: every request pays JPEG decode + upload. The
+    # device-resident video LRU (engine default) would otherwise serve the
+    # cycled benchmark dirs from HBM after one lap — measured separately
+    # below as the labeled warm-cache metric.
+    cache_budget = engine._video_cache_bytes
+    engine._video_cache_bytes = 0
     dirs = make_frames_dirs(N_DISTINCT_DIRS)
 
     # single-stream latency (p50 video->caption)
@@ -134,6 +140,13 @@ def main() -> None:
             for _ in range(TRIALS)
         ]
         caps_per_sec = statistics.median(trials)
+        # warm-cache: repeated-content serving (the working set stays device-
+        # resident; decode+wire skipped) — the steady-state for popular videos
+        engine._video_cache_bytes = max(cache_budget, 512 * 1024 * 1024)
+        pipelined_throughput(engine, dirs, batch, 2, 1)  # fill the cache
+        warm_caps = pipelined_throughput(engine, dirs, batch, n_batches, PIPELINE_DEPTH)
+        engine._video_cache_bytes = 0
+        engine._video_cache.clear()
         try:
             from video_caption_tpu.bench.roofline import measure_roofline
 
@@ -144,6 +157,7 @@ def main() -> None:
         print(f"batched path failed ({exc}); reporting single-stream", file=sys.stderr)
         batch = 1
         trials = []
+        warm_caps = None
         caps_per_sec = 1.0 / (sum(lat) / len(lat))
 
     hist_path = Path("reports/bench_history.json")
@@ -170,6 +184,8 @@ def main() -> None:
         "pipeline_depth": PIPELINE_DEPTH,
         "throughput_trials": [round(t, 3) for t in trials],
     }
+    if warm_caps is not None:
+        record["warm_cache_caps_per_sec"] = round(warm_caps, 3)
     if roofline:
         record["device_caps_per_sec"] = roofline["device_caps_per_sec"]
         record["device_total_ms"] = roofline["device_total_ms"]

@@ -28,6 +28,8 @@ def parse_args(argv=None):
     p.add_argument("--ckpt_path", default="checkpoints/msvd_mapper_finetune")
     p.add_argument("--mesh_data", type=int, default=0, help="0 = all devices")
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-style weight+optimizer sharding over the data axis")
     p.add_argument("--u8_pixels", action="store_true",
                    help="ship uint8 pixels; normalize on device (4x less transfer)")
     return p.parse_args(argv)
@@ -74,6 +76,7 @@ def main(argv=None) -> int:
             out_dir=args.out_dir, ckpt_path=args.ckpt_path,
         ),
         mesh=mesh,
+        fsdp=args.fsdp,
     )
 
     def strip(b):

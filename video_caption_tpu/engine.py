@@ -135,6 +135,15 @@ class InferenceEngine:
             self.mesh = make_mesh(config.mesh, jax.devices()[: config.mesh.num_devices])
             self.params = shard_params(self.params, self.mesh)
         self.tokenizer = get_tokenizer()
+        import os
+        from collections import OrderedDict
+
+        # device-resident LRU of uploaded videos (keyed dir+mtime); repeat
+        # requests skip JPEG decode AND the host->device wire
+        self._video_cache: "OrderedDict" = OrderedDict()
+        self._video_cache_bytes = int(
+            os.environ.get("VIDEO_CAPTION_VIDEO_CACHE_MB", "256")
+        ) * 1024 * 1024
         self._rng = jax.random.PRNGKey(seed)
         self._prefix_fn = jax.jit(
             partial(cm.video_to_prefix, cfg=self.model_cfg), static_argnames=()
@@ -238,16 +247,55 @@ class InferenceEngine:
 
     # ---- public API --------------------------------------------------------
 
+    def _video_cache_key(self, frames_dir: str):
+        """Cache identity: dir path + newest frame mtime + sampling params.
+        An edited/replaced frames dir changes its mtime and misses."""
+        from video_caption_tpu.preprocessing.frame_loader import list_frames
+
+        files = list_frames(frames_dir)
+        if not files:
+            raise FileNotFoundError(f"No frame_*.jpg files found under {frames_dir}")
+        newest = max(p.stat().st_mtime_ns for p in files)
+        return (str(frames_dir), len(files), newest,
+                self.config.num_frames, self.config.image_size)
+
+    def _video_cache_get(self, frames_dir: str):
+        if self._video_cache_bytes <= 0:
+            return None, None
+        key = self._video_cache_key(frames_dir)
+        hit = self._video_cache.get(key)
+        if hit is not None:
+            self._video_cache.move_to_end(key)
+        return key, hit
+
+    def _video_cache_put(self, key, video: jax.Array) -> None:
+        if self._video_cache_bytes <= 0 or key is None:
+            return
+        self._video_cache[key] = video
+        self._video_cache.move_to_end(key)
+        total = sum(v.nbytes for v in self._video_cache.values())
+        while total > self._video_cache_bytes and len(self._video_cache) > 1:
+            _, evicted = self._video_cache.popitem(last=False)
+            total -= evicted.nbytes
+
     def _load_video_to_device(self, frames_dir: str, chunk: int = 4) -> jax.Array:
         """Pipelined upload: decode CHUNK frames, start their (async)
         host->device transfer, decode the next chunk while it flies, then
         concatenate on device. Overlaps JPEG decode with the wire — the two
-        are comparable costs on the tunneled chip (30-60ms each)."""
+        are comparable costs on the tunneled chip (30-60ms each).
+
+        Repeat requests for an unchanged frames dir are served from a
+        device-resident LRU (the wire is the scarce resource when the chip
+        is tunneled; popular/repeated videos skip decode + upload entirely).
+        Budget: VIDEO_CAPTION_VIDEO_CACHE_MB (0 disables)."""
         from video_caption_tpu.native.loader import load_frames_native_u8
         from video_caption_tpu.preprocessing.frame_loader import (
             list_frames, load_image_u8, sample_frame_paths,
         )
 
+        key, cached = self._video_cache_get(frames_dir)
+        if cached is not None:
+            return cached
         files = list_frames(frames_dir)
         if not files:
             raise FileNotFoundError(f"No frame_*.jpg files found under {frames_dir}")
@@ -264,6 +312,7 @@ class InferenceEngine:
             device_chunks.append(jax.device_put(arr))   # async transfer
         video = jnp.concatenate(device_chunks, axis=0)[None] if len(device_chunks) > 1 \
             else device_chunks[0][None]
+        self._video_cache_put(key, video)
         return video
 
     def infer(self, frames_dir: str) -> InferenceResult:
@@ -388,24 +437,38 @@ class InferenceEngine:
                 ) for d in frames_dirs]
                 device_videos = shard_batch({"v": np.concatenate(loaded)}, self.mesh)["v"]
             elif len(frames_dirs) > 1:
-                # streaming upload: worker threads JPEG-decode videos while the
-                # main thread ships each finished video to the device (async),
-                # overlapping decode with the host->device wire
+                # streaming upload: worker threads JPEG-decode cache-miss
+                # videos while the main thread ships each finished video to
+                # the device (async), overlapping decode with the wire;
+                # repeated dirs come straight from the device-resident LRU
                 from concurrent.futures import ThreadPoolExecutor
 
-                device_vids = []
-                import os as _os
+                keys, slots = [], []
+                miss_by_key: Dict = {}
+                for i, d in enumerate(frames_dirs):
+                    key, hit = self._video_cache_get(d)
+                    keys.append(key)
+                    slots.append(hit)
+                    if hit is None:
+                        # dedupe: identical dirs in one batch decode ONCE
+                        miss_by_key.setdefault(key or ("nocache", i), []).append(i)
+                if miss_by_key:
+                    import os as _os
 
-                workers = min(len(frames_dirs), max(_os.cpu_count() or 1, 1), 8)
-                with ThreadPoolExecutor(max_workers=workers) as pool:
-                    for arr in pool.map(
-                        lambda d: load_video_array_u8(
-                            d, self.config.num_frames, self.config.image_size
-                        ),
-                        frames_dirs,
-                    ):
-                        device_vids.append(jax.device_put(arr))
-                device_videos = jnp.concatenate(device_vids, axis=0)
+                    groups = list(miss_by_key.values())
+                    workers = min(len(groups), max(_os.cpu_count() or 1, 1), 8)
+                    with ThreadPoolExecutor(max_workers=workers) as pool:
+                        for idxs, arr in zip(groups, pool.map(
+                            lambda d: load_video_array_u8(
+                                d, self.config.num_frames, self.config.image_size
+                            ),
+                            [frames_dirs[g[0]] for g in groups],
+                        )):
+                            vid = jax.device_put(arr)
+                            self._video_cache_put(keys[idxs[0]], vid)
+                            for i in idxs:
+                                slots[i] = vid
+                device_videos = jnp.concatenate(slots, axis=0)
             else:
                 device_videos = self._load_video_to_device(frames_dirs[0])
             return self._dispatch_videos(device_videos)

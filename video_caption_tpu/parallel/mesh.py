@@ -53,38 +53,58 @@ _COL_PARALLEL = {"qkv_w", "qkv_b", "attn_w", "attn_b", "fc1_w", "fc1_b", "fc_w",
 _ROW_PARALLEL = {"proj_w", "fc2_w", "out_w"}
 
 
-def _spec_for(path: str, ndim: int, model_size: int, shape) -> P:
-    """PartitionSpec for one parameter leaf, keyed by its field name."""
+# FSDP (ZeRO-3-style) weight sharding: leaves at least this big get a dim
+# sharded over the DATA axis; GSPMD inserts the all-gather at use and the
+# reduce-scatter on gradients. Small leaves stay replicated (gather overhead
+# would exceed the memory win).
+_FSDP_MIN_ELEMS = 1 << 16
+
+
+def _spec_for(path: str, ndim: int, model_size: int, shape,
+              fsdp_size: int = 1) -> P:
+    """PartitionSpec for one parameter leaf, keyed by its field name.
+
+    TP (megatron) placement first; FSDP then claims the first still-free,
+    evenly-divisible dim of large leaves for the data axis — the stacked
+    ``depth`` axis of block weights is the natural choice (depth % dp == 0
+    for the usual meshes), composing cleanly with the TP in/out shardings.
+    """
     name = path.split("/")[-1]
-    none = [None] * ndim
+    none: list = [None] * ndim
     if model_size > 1:
         if name in _COL_PARALLEL and shape[-1] % model_size == 0:
             none[-1] = MODEL_AXIS
-            return P(*none)
-        if name in _ROW_PARALLEL and ndim >= 2 and shape[-2] % model_size == 0:
+        elif name in _ROW_PARALLEL and ndim >= 2 and shape[-2] % model_size == 0:
             none[-2] = MODEL_AXIS
-            return P(*none)
-        if name == "wte" and shape[0] % model_size == 0:
+        elif name == "wte" and shape[0] % model_size == 0:
             none[0] = MODEL_AXIS
-            return P(*none)
+    if fsdp_size > 1 and int(np.prod(shape or (1,))) >= _FSDP_MIN_ELEMS:
+        for d in range(ndim):
+            if none[d] is None and shape[d] % fsdp_size == 0:
+                none[d] = DATA_AXIS
+                break
     return P(*none)
 
 
-def param_specs(params: Any, model_size: int) -> Any:
+def param_specs(params: Any, model_size: int, fsdp_size: int = 1) -> Any:
     """PartitionSpec pytree matching ``params``."""
     def walk(tree, path=""):
         if isinstance(tree, dict):
             return {k: walk(v, f"{path}/{k}") for k, v in tree.items()}
-        return _spec_for(path, np.ndim(tree), model_size, np.shape(tree))
+        return _spec_for(path, np.ndim(tree), model_size, np.shape(tree), fsdp_size)
 
     return walk(params)
 
 
-def shard_params(params: Any, mesh: Mesh) -> Any:
-    """Place a parameter pytree on the mesh under the TP rules (replicated
-    when the model axis is 1 — the single-chip and pure-DP cases)."""
+def shard_params(params: Any, mesh: Mesh, fsdp: bool = False) -> Any:
+    """Place a parameter pytree on the mesh: TP rules over the model axis,
+    plus optional FSDP weight sharding over the data axis (replicated when
+    both axes are 1 — the single-chip case). Optimizer state initialized
+    from the result inherits the same shardings, so FSDP also shards the
+    Adam moments (the ZeRO memory win)."""
     model_size = mesh.shape[MODEL_AXIS]
-    specs = param_specs(params, model_size)
+    fsdp_size = mesh.shape[DATA_AXIS] if fsdp else 1
+    specs = param_specs(params, model_size, fsdp_size)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )

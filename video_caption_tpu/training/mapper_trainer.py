@@ -78,6 +78,7 @@ class MapperTrainer:
         params: Any,
         args: TrainArgs = TrainArgs(),
         mesh: Optional[jax.sharding.Mesh] = None,
+        fsdp: bool = False,
     ):
         import dataclasses
 
@@ -93,7 +94,7 @@ class MapperTrainer:
         import jax.numpy as jnp
 
         params = jax.tree.map(jnp.array, params)
-        self.params = pmesh.shard_params(params, self.mesh)
+        self.params = pmesh.shard_params(params, self.mesh, fsdp=fsdp)
         lr_tree = topt.mapper_lr_tree(
             self.params, args.lr, args.lr_gpt2, args.unfreeze_last_gpt2, cfg.gpt2.n_layer
         )
