@@ -35,7 +35,9 @@ from pathlib import Path
 import numpy as np
 
 PIPELINE_DEPTH = int(os.environ.get("BENCH_PIPELINE_DEPTH", "4"))
-TRIALS = int(os.environ.get("BENCH_TRIALS", "3"))
+TRIALS = int(os.environ.get("BENCH_TRIALS", "5"))  # median-of-5: the link's
+# throughput swings >2x between trials minutes apart; 5 trials stabilize the
+# median against one congestion spike
 N_DISTINCT_DIRS = 32  # >= default batch: every request in a batch is a distinct video
 
 

@@ -232,3 +232,21 @@ def test_legacy_vit_key_remap_through_reference_state(refstack):
     assert len(la) == len(lb) and len(la) > 10
     for x, y in zip(la, lb):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.skipif("RUN_FULL_GEOMETRY_DIFF" not in __import__("os").environ,
+                    reason="slow (~8 min CPU); set RUN_FULL_GEOMETRY_DIFF=1")
+def test_full_geometry_differential():
+    """The differential at COMPLETE production geometry (ViT-B/16 depth 12 +
+    GPT-2 124M): catches depth-dependent numeric drift the suite's depth-2
+    geometry cannot. Ran green on 2026-08-16 (see BASELINE.md)."""
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, str(Path(__file__).parent / "full_geometry_differential.py")],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0 and "FULL-GEOMETRY-DIFFERENTIAL-OK" in proc.stdout, (
+        proc.stdout[-500:] + proc.stderr[-500:]
+    )
