@@ -250,3 +250,34 @@ def test_full_geometry_differential():
     assert proc.returncode == 0 and "FULL-GEOMETRY-DIFFERENTIAL-OK" in proc.stdout, (
         proc.stdout[-500:] + proc.stderr[-500:]
     )
+
+
+def test_export_torch_state_round_trip(refstack):
+    """JAX pytree -> reference torch key space must reproduce the ORIGINAL
+    reference state dict exactly (both directions of migration work)."""
+    from video_caption_tpu.models.convert import (
+        convert_caption_checkpoint, export_torch_state, load_torch_checkpoint,
+        merge_params, save_torch_checkpoint,
+    )
+
+    orig = {k: v.numpy() for k, v in torch.load(
+        str(refstack["ckpt"]), map_location="cpu")["model_state"].items()}
+    cfg = _our_model_cfg(refstack["vocab_size"])
+    params = convert_caption_checkpoint(orig, cfg)
+    exported = export_torch_state(params, cfg)
+
+    missing = set(orig) - set(exported)
+    assert not missing, f"exporter misses reference keys: {sorted(missing)[:8]}"
+    for k, v in exported.items():
+        if k in orig:
+            np.testing.assert_allclose(v, orig[k], atol=1e-6, err_msg=k)
+
+    # on-disk round trip: save in reference format, reload through our loader
+    out = refstack["assets"] / "exported.pt"
+    save_torch_checkpoint(str(out), params, cfg, step=3)
+    state2 = load_torch_checkpoint(str(out))
+    re_params = convert_caption_checkpoint(state2, cfg)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(re_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -104,8 +104,12 @@ class CompileConfig:
     fuse_request_program: bool = _env_bool("VIDEO_CAPTION_FUSE_REQUEST", False)
     """One jitted program per request (prefix + every decode group) vs one
     program per decode group with async dispatch. Measured on the tunneled
-    chip: separate async dispatches pipeline better (3.9 vs 2.8 captions/s);
-    on a directly-attached chip fusing may win — hence the knob."""
+    chip: separate async dispatches pipeline better for BATCHED throughput
+    (50.7 vs 11.2 captions/s); hence off by default for batches."""
+    fuse_single_request: bool = _env_bool("VIDEO_CAPTION_FUSE_SINGLE", True)
+    """Single-video requests use the fused one-dispatch program even when
+    fuse_request_program is off: one host<->device round trip instead of
+    three wins on latency (measured p50 129 vs 138 ms, p90 138 vs 170 ms)."""
     early_stop_decode: bool = _env_bool("VIDEO_CAPTION_EARLY_STOP", False)
     quantize_decoder_int8: bool = _env_bool("VIDEO_CAPTION_INT8", False)
     """Weight-only int8 for the GPT-2 block matmuls (per-output-channel

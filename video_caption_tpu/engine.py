@@ -388,7 +388,10 @@ class InferenceEngine:
           faster on the tunneled chip."""
         program, group_list, n_pairs = self._fused_infer_program()
         self._rng, sub = jax.random.split(self._rng)
-        if self.config.compile.fuse_request_program:
+        use_fused = self.config.compile.fuse_request_program or (
+            video.shape[0] == 1 and self.config.compile.fuse_single_request
+        )
+        if use_fused:
             outs = program(self.params, video, sub)
         else:
             prefix = self._prefix_fn(self.params, video)

@@ -243,6 +243,107 @@ def convert_caption_checkpoint(
     return params
 
 
+def export_torch_state(params: Dict[str, Any], cfg: CaptionModelConfig) -> Dict[str, Any]:
+    """Inverse conversion: this package's pytree -> the reference's torch
+    state-dict key space (timm ViT + HF GPT-2 + mapper), so models trained
+    here can be loaded BACK by ``VideoCaptionModel.load_state_dict``
+    (migration in both directions). Returns numpy arrays; pair with
+    ``save_torch_checkpoint`` for the on-disk format."""
+    out: Dict[str, np.ndarray] = {}
+
+    def a(x):
+        return np.asarray(x, np.float32)
+
+    enc = params.get("encoder")
+    if enc:
+        p = cfg.vit.patch_size
+        w = a(enc["patch_embed"]["w"])                     # [(in kh kw), out]
+        out["encoder.backbone.patch_embed.proj.weight"] = (
+            w.T.reshape(-1, cfg.vit.in_chans, p, p)
+        )
+        out["encoder.backbone.patch_embed.proj.bias"] = a(enc["patch_embed"]["b"])
+        out["encoder.backbone.cls_token"] = a(enc["cls_token"])
+        out["encoder.backbone.pos_embed"] = a(enc["pos_embed"])
+        out["encoder.backbone.norm.weight"] = a(enc["norm_scale"])
+        out["encoder.backbone.norm.bias"] = a(enc["norm_bias"])
+        blocks = enc["blocks"]
+        names = (
+            ("ln1_scale", "norm1.weight", False), ("ln1_bias", "norm1.bias", False),
+            ("qkv_w", "attn.qkv.weight", True), ("qkv_b", "attn.qkv.bias", False),
+            ("proj_w", "attn.proj.weight", True), ("proj_b", "attn.proj.bias", False),
+            ("ln2_scale", "norm2.weight", False), ("ln2_bias", "norm2.bias", False),
+            ("fc1_w", "mlp.fc1.weight", True), ("fc1_b", "mlp.fc1.bias", False),
+            ("fc2_w", "mlp.fc2.weight", True), ("fc2_b", "mlp.fc2.bias", False),
+        )
+        for i in range(cfg.vit.depth):
+            for ours, theirs, transpose in names:
+                v = a(blocks[ours][i])
+                out[f"encoder.backbone.blocks.{i}.{theirs}"] = v.T if transpose else v
+                # ViTFrameEncoder aliases self.blocks = backbone.blocks
+                # (video_encoder.py:73), so the reference state dict carries
+                # the block tensors under BOTH prefixes
+                out[f"encoder.blocks.{i}.{theirs}"] = out[f"encoder.backbone.blocks.{i}.{theirs}"]
+        if "head" in enc:
+            out["encoder.proj.weight"] = a(enc["head"]["w"]).T
+            out["encoder.proj.bias"] = a(enc["head"]["b"])
+
+    if "mapper" in params:
+        out["decoder.mapper.0.weight"] = a(params["mapper"]["w"]).T
+        out["decoder.mapper.0.bias"] = a(params["mapper"]["b"])
+
+    dec = params.get("decoder")
+    if dec:
+        out["decoder.model.transformer.wte.weight"] = a(dec["wte"])
+        out["decoder.model.transformer.wpe.weight"] = a(dec["wpe"])
+        out["decoder.model.transformer.ln_f.weight"] = a(dec["lnf_scale"])
+        out["decoder.model.transformer.ln_f.bias"] = a(dec["lnf_bias"])
+        out["decoder.model.lm_head.weight"] = a(dec["wte"])   # tied
+        blocks = dec["blocks"]
+        names = (
+            ("ln1_scale", "ln_1.weight"), ("ln1_bias", "ln_1.bias"),
+            ("attn_w", "attn.c_attn.weight"), ("attn_b", "attn.c_attn.bias"),
+            ("proj_w", "attn.c_proj.weight"), ("proj_b", "attn.c_proj.bias"),
+            ("ln2_scale", "ln_2.weight"), ("ln2_bias", "ln_2.bias"),
+            ("fc_w", "mlp.c_fc.weight"), ("fc_b", "mlp.c_fc.bias"),
+            ("out_w", "mlp.c_proj.weight"), ("out_b", "mlp.c_proj.bias"),
+        )
+        for i in range(cfg.gpt2.n_layer):
+            for ours, theirs in names:
+                # HF Conv1D stores [in, out] — our native layout, no transpose
+                out[f"decoder.model.transformer.h.{i}.{theirs}"] = a(blocks[ours][i])
+
+    if "proj_mlp" in params:  # MLP adapter (reference proj_hidden>0)
+        m = params["proj_mlp"]
+        out["proj.0.weight"] = a(m["fc1"]["w"]).T
+        out["proj.0.bias"] = a(m["fc1"]["b"])
+        out["proj.2.weight"] = a(m["fc2"]["w"]).T
+        out["proj.2.bias"] = a(m["fc2"]["b"])
+    if "proj" in params:
+        log.warning(
+            "params carry a Linear adapter ('proj') with no reference key "
+            "space (the reference folds the dim change into encoder.proj); "
+            "NOT exported"
+        )
+    return out
+
+
+def save_torch_checkpoint(path: str, params: Dict[str, Any], cfg: CaptionModelConfig,
+                          step: int = 0, epoch: int = 0,
+                          best_val: float = float("inf"), args=None) -> None:
+    """Write a reference-format checkpoint (train_caption_mapper.py:301-305:
+    {"model_state", "step", "epoch", "best_val", "args"}) loadable by the
+    reference's model_loader AND by this package's load_torch_checkpoint."""
+    import torch
+
+    state = {k: torch.from_numpy(v.copy()) for k, v in export_torch_state(params, cfg).items()}
+    torch.save(
+        {"model_state": state, "step": step, "epoch": epoch,
+         "best_val": best_val, "args": args or {}},
+        path,
+    )
+    log.info("saved reference-format checkpoint to %s (%d tensors)", path, len(state))
+
+
 def merge_params(init: Dict[str, Any], converted: Dict[str, Any]) -> Dict[str, Any]:
     """Overlay converted families onto a randomly-initialized pytree, keeping
     random init for anything the checkpoint lacks (strict=False semantics)."""
