@@ -167,24 +167,27 @@ void resize_pil_exact(const std::vector<unsigned char>& rgb, int w, int h,
     }
   }
 
-  // vertical pass
+  // vertical pass, row-major: accumulate whole input rows into an int32 row
+  // buffer (sequential access auto-vectorizes; the per-output-pixel column
+  // walk strided badly through the intermediate)
   out.resize(static_cast<size_t>(out_size) * out_size * 3);
+  const int row_elems = out_size * 3;
+  std::vector<int> acc(row_elems);
   for (int y = 0; y < out_size; ++y) {
     const int ymin = yb[y * 2], n = yb[y * 2 + 1];
     const std::vector<int>& k = yw[y];
-    unsigned char* dst = out.data() + static_cast<size_t>(y) * out_size * 3;
-    for (int x = 0; x < out_size; ++x) {
-      int acc[3] = {bias, bias, bias};
-      for (int j = 0; j < n; ++j) {
-        const unsigned char* px =
-            tmp.data() + (static_cast<size_t>(ymin + j) * out_size + x) * 3;
-        acc[0] += k[j] * px[0];
-        acc[1] += k[j] * px[1];
-        acc[2] += k[j] * px[2];
+    std::fill(acc.begin(), acc.end(), bias);
+    for (int j = 0; j < n; ++j) {
+      const unsigned char* src =
+          tmp.data() + static_cast<size_t>(ymin + j) * row_elems;
+      const int kj = k[j];
+      for (int i = 0; i < row_elems; ++i) {
+        acc[i] += kj * src[i];
       }
-      dst[x * 3 + 0] = clip8(acc[0]);
-      dst[x * 3 + 1] = clip8(acc[1]);
-      dst[x * 3 + 2] = clip8(acc[2]);
+    }
+    unsigned char* dst = out.data() + static_cast<size_t>(y) * row_elems;
+    for (int i = 0; i < row_elems; ++i) {
+      dst[i] = clip8(acc[i]);
     }
   }
 }
