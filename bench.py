@@ -143,12 +143,25 @@ def main() -> None:
         ]
         caps_per_sec = statistics.median(trials)
         # warm-cache: repeated-content serving (the working set stays device-
-        # resident; decode+wire skipped) — the steady-state for popular videos
-        engine._video_cache_bytes = max(cache_budget, 512 * 1024 * 1024)
-        pipelined_throughput(engine, dirs, batch, 2, 1)  # fill the cache
-        warm_caps = pipelined_throughput(engine, dirs, batch, n_batches, PIPELINE_DEPTH)
-        engine._video_cache_bytes = 0
-        engine._video_cache.clear()
+        # resident; decode+wire skipped) — the steady-state for popular
+        # videos. Own try: a warm-pass failure must not discard the valid
+        # cold headline above. Skipped entirely when the operator disabled
+        # the cache (VIDEO_CAPTION_VIDEO_CACHE_MB=0, e.g. tight HBM).
+        warm_caps = None
+        if cache_budget > 0:
+            try:
+                engine._video_cache_bytes = max(cache_budget, 512 * 1024 * 1024)
+                fill_batches = -(-len(dirs) // batch) + 1  # cover every dir
+                pipelined_throughput(engine, dirs, batch, fill_batches, 1)
+                warm_caps = pipelined_throughput(
+                    engine, dirs, batch, n_batches, PIPELINE_DEPTH)
+            except Exception as exc:
+                print(f"warm-cache pass failed ({exc}); cold headline kept",
+                      file=sys.stderr)
+            finally:
+                engine._video_cache_bytes = 0
+                engine._video_cache.clear()
+                engine._video_cache_total = 0
         try:
             from video_caption_tpu.bench.roofline import measure_roofline
 

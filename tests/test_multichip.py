@@ -177,9 +177,18 @@ def test_fsdp_training_step_parity(tiny_cfg, tiny_params):
     plain = MapperTrainer(tiny_cfg, tiny_params,
                           TrainArgs(out_dir="/tmp/vct_fsdp_a", val_every=10**9),
                           mesh=mesh)
+    # fsdp_min_elems=0: tiny leaves are below the production threshold —
+    # force sharding so parity actually exercises the FSDP collectives
     fsdp = MapperTrainer(tiny_cfg, tiny_params,
                          TrainArgs(out_dir="/tmp/vct_fsdp_b", val_every=10**9),
-                         mesh=mesh, fsdp=True)
+                         mesh=mesh, fsdp=True, fsdp_min_elems=0)
+    import jax as _jax
+
+    sharded = [
+        l for l in _jax.tree.leaves(fsdp.params)
+        if "data" in str(getattr(l, "sharding", ""))
+    ]
+    assert sharded, "FSDP must actually shard some leaves in this test"
     l_plain = plain.run_step(dict(batch))
     l_fsdp = fsdp.run_step(dict(batch))
     assert abs(l_plain - l_fsdp) < 1e-4, (l_plain, l_fsdp)

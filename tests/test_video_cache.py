@@ -68,17 +68,36 @@ def test_duplicate_dirs_in_one_batch_load_once(engine, tmp_path, monkeypatch):
 
 def test_mtime_change_invalidates(engine, tmp_path):
     d = _frames(tmp_path, "v2", seed=2)
-    key1, _ = engine._video_cache_get(d)
+    key1, _, _ = engine._video_cache_get(d)
     engine.infer(d)
-    _, hit = engine._video_cache_get(d)
+    _, hit, _ = engine._video_cache_get(d)
     assert hit is not None
     time.sleep(0.02)
-    # rewrite a frame -> newest mtime changes -> cache key changes
+    # rewrite a frame -> its mtime changes -> cache key changes
     Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(
         os.path.join(d, "frame_00001.jpg")
     )
-    key2, hit2 = engine._video_cache_get(d)
+    key2, hit2, _ = engine._video_cache_get(d)
     assert key2 != key1
+    assert hit2 is None
+
+
+def test_non_newest_frame_replacement_invalidates(engine, tmp_path):
+    """Replacing a NON-newest frame (timestamp-preserving copies keep the
+    dir's max mtime) must still miss — the key digests every file's
+    (name, mtime, size)."""
+    d = _frames(tmp_path, "v2b", seed=7)
+    # make frame_00001 strictly newer so frame_00000 is not the newest
+    os.utime(os.path.join(d, "frame_00001.jpg"), ns=(2**62, 2**62))
+    engine.infer(d)
+    _, hit, _ = engine._video_cache_get(d)
+    assert hit is not None
+    # replace frame_00000 with different pixels at an OLDER mtime
+    Image.fromarray(np.full((32, 32, 3), 7, np.uint8)).save(
+        os.path.join(d, "frame_00000.jpg")
+    )
+    os.utime(os.path.join(d, "frame_00000.jpg"), ns=(1000, 1000))
+    _, hit2, _ = engine._video_cache_get(d)
     assert hit2 is None
 
 
@@ -88,8 +107,8 @@ def test_capacity_eviction(engine, tmp_path):
     b = _frames(tmp_path, "vb", seed=4)
     engine.infer(a)
     engine.infer(b)
-    _, hit_a = engine._video_cache_get(a)
-    _, hit_b = engine._video_cache_get(b)
+    _, hit_a, _ = engine._video_cache_get(a)
+    _, hit_b, _ = engine._video_cache_get(b)
     assert hit_b is not None and hit_a is None, "LRU must evict the older video"
 
 

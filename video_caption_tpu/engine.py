@@ -141,6 +141,7 @@ class InferenceEngine:
         # device-resident LRU of uploaded videos (keyed dir+mtime); repeat
         # requests skip JPEG decode AND the host->device wire
         self._video_cache: "OrderedDict" = OrderedDict()
+        self._video_cache_total = 0
         self._video_cache_bytes = int(
             os.environ.get("VIDEO_CAPTION_VIDEO_CACHE_MB", "256")
         ) * 1024 * 1024
@@ -248,35 +249,43 @@ class InferenceEngine:
     # ---- public API --------------------------------------------------------
 
     def _video_cache_key(self, frames_dir: str):
-        """Cache identity: dir path + newest frame mtime + sampling params.
-        An edited/replaced frames dir changes its mtime and misses."""
+        """Cache identity: dir path + a digest of EVERY frame's (name, mtime,
+        size) + sampling params — replacing any frame (even one that keeps
+        the directory's newest mtime, e.g. a timestamp-preserving rsync)
+        changes the key. Returns (key, files) so the miss path can reuse the
+        directory listing."""
         from video_caption_tpu.preprocessing.frame_loader import list_frames
 
         files = list_frames(frames_dir)
         if not files:
             raise FileNotFoundError(f"No frame_*.jpg files found under {frames_dir}")
-        newest = max(p.stat().st_mtime_ns for p in files)
-        return (str(frames_dir), len(files), newest,
-                self.config.num_frames, self.config.image_size)
+        stamp = hash(tuple(
+            (p.name, (st := p.stat()).st_mtime_ns, st.st_size) for p in files
+        ))
+        key = (str(frames_dir), stamp, self.config.num_frames, self.config.image_size)
+        return key, files
 
     def _video_cache_get(self, frames_dir: str):
+        """Returns (key, cached_video_or_None, files)."""
         if self._video_cache_bytes <= 0:
-            return None, None
-        key = self._video_cache_key(frames_dir)
+            return None, None, None
+        key, files = self._video_cache_key(frames_dir)
         hit = self._video_cache.get(key)
         if hit is not None:
             self._video_cache.move_to_end(key)
-        return key, hit
+        return key, hit, files
 
     def _video_cache_put(self, key, video: jax.Array) -> None:
         if self._video_cache_bytes <= 0 or key is None:
             return
+        old = self._video_cache.pop(key, None)
+        if old is not None:
+            self._video_cache_total -= old.nbytes
         self._video_cache[key] = video
-        self._video_cache.move_to_end(key)
-        total = sum(v.nbytes for v in self._video_cache.values())
-        while total > self._video_cache_bytes and len(self._video_cache) > 1:
+        self._video_cache_total += video.nbytes
+        while self._video_cache_total > self._video_cache_bytes and len(self._video_cache) > 1:
             _, evicted = self._video_cache.popitem(last=False)
-            total -= evicted.nbytes
+            self._video_cache_total -= evicted.nbytes
 
     def _load_video_to_device(self, frames_dir: str, chunk: int = 4) -> jax.Array:
         """Pipelined upload: decode CHUNK frames, start their (async)
@@ -293,10 +302,11 @@ class InferenceEngine:
             list_frames, load_image_u8, sample_frame_paths,
         )
 
-        key, cached = self._video_cache_get(frames_dir)
+        key, cached, files = self._video_cache_get(frames_dir)
         if cached is not None:
             return cached
-        files = list_frames(frames_dir)
+        if files is None:  # cache disabled: list here
+            files = list_frames(frames_dir)
         if not files:
             raise FileNotFoundError(f"No frame_*.jpg files found under {frames_dir}")
         picks = sample_frame_paths(files, self.config.num_frames)
@@ -449,7 +459,7 @@ class InferenceEngine:
                 keys, slots = [], []
                 miss_by_key: Dict = {}
                 for i, d in enumerate(frames_dirs):
-                    key, hit = self._video_cache_get(d)
+                    key, hit, _ = self._video_cache_get(d)
                     keys.append(key)
                     slots.append(hit)
                     if hit is None:

@@ -61,7 +61,7 @@ _FSDP_MIN_ELEMS = 1 << 16
 
 
 def _spec_for(path: str, ndim: int, model_size: int, shape,
-              fsdp_size: int = 1) -> P:
+              fsdp_size: int = 1, fsdp_min_elems: int = _FSDP_MIN_ELEMS) -> P:
     """PartitionSpec for one parameter leaf, keyed by its field name.
 
     TP (megatron) placement first; FSDP then claims the first still-free,
@@ -78,7 +78,7 @@ def _spec_for(path: str, ndim: int, model_size: int, shape,
             none[-2] = MODEL_AXIS
         elif name == "wte" and shape[0] % model_size == 0:
             none[0] = MODEL_AXIS
-    if fsdp_size > 1 and int(np.prod(shape or (1,))) >= _FSDP_MIN_ELEMS:
+    if fsdp_size > 1 and int(np.prod(shape or (1,))) >= fsdp_min_elems:
         for d in range(ndim):
             if none[d] is None and shape[d] % fsdp_size == 0:
                 none[d] = DATA_AXIS
@@ -86,17 +86,20 @@ def _spec_for(path: str, ndim: int, model_size: int, shape,
     return P(*none)
 
 
-def param_specs(params: Any, model_size: int, fsdp_size: int = 1) -> Any:
+def param_specs(params: Any, model_size: int, fsdp_size: int = 1,
+                fsdp_min_elems: int = _FSDP_MIN_ELEMS) -> Any:
     """PartitionSpec pytree matching ``params``."""
     def walk(tree, path=""):
         if isinstance(tree, dict):
             return {k: walk(v, f"{path}/{k}") for k, v in tree.items()}
-        return _spec_for(path, np.ndim(tree), model_size, np.shape(tree), fsdp_size)
+        return _spec_for(path, np.ndim(tree), model_size, np.shape(tree),
+                         fsdp_size, fsdp_min_elems)
 
     return walk(params)
 
 
-def shard_params(params: Any, mesh: Mesh, fsdp: bool = False) -> Any:
+def shard_params(params: Any, mesh: Mesh, fsdp: bool = False,
+                 fsdp_min_elems: int = _FSDP_MIN_ELEMS) -> Any:
     """Place a parameter pytree on the mesh: TP rules over the model axis,
     plus optional FSDP weight sharding over the data axis (replicated when
     both axes are 1 — the single-chip case). Optimizer state initialized
@@ -104,7 +107,7 @@ def shard_params(params: Any, mesh: Mesh, fsdp: bool = False) -> Any:
     Adam moments (the ZeRO memory win)."""
     model_size = mesh.shape[MODEL_AXIS]
     fsdp_size = mesh.shape[DATA_AXIS] if fsdp else 1
-    specs = param_specs(params, model_size, fsdp_size)
+    specs = param_specs(params, model_size, fsdp_size, fsdp_min_elems)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )

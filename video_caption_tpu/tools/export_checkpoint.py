@@ -29,9 +29,21 @@ def main(argv=None) -> int:
     config = default_inference_config(ckpt=args.ckpt, num_frames=args.num_frames)
     model_cfg = model_config_from_inference(config)
     params = load_params(config, model_cfg)
-    from video_caption_tpu.training.checkpoint import load_metadata
+    if args.ckpt.endswith((".pt", ".pth", ".bin")):
+        # torch input: the payload itself carries the training metadata
+        # (train_caption_mapper.py:301-305) — preserve it through re-export
+        import torch
 
-    meta = load_metadata(args.ckpt)
+        try:
+            raw = torch.load(args.ckpt, map_location="cpu", weights_only=True)
+        except Exception:
+            raw = {}
+        meta = {k: raw[k] for k in ("step", "epoch", "best_val", "args")
+                if isinstance(raw, dict) and k in raw}
+    else:
+        from video_caption_tpu.training.checkpoint import load_metadata
+
+        meta = load_metadata(args.ckpt)
     save_torch_checkpoint(
         args.out, params, model_cfg,
         step=meta.get("step", 0), epoch=meta.get("epoch", 0),

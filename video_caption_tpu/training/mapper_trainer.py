@@ -79,6 +79,7 @@ class MapperTrainer:
         args: TrainArgs = TrainArgs(),
         mesh: Optional[jax.sharding.Mesh] = None,
         fsdp: bool = False,
+        fsdp_min_elems: Optional[int] = None,
     ):
         import dataclasses
 
@@ -94,7 +95,8 @@ class MapperTrainer:
         import jax.numpy as jnp
 
         params = jax.tree.map(jnp.array, params)
-        self.params = pmesh.shard_params(params, self.mesh, fsdp=fsdp)
+        shard_kwargs = {} if fsdp_min_elems is None else {"fsdp_min_elems": fsdp_min_elems}
+        self.params = pmesh.shard_params(params, self.mesh, fsdp=fsdp, **shard_kwargs)
         lr_tree = topt.mapper_lr_tree(
             self.params, args.lr, args.lr_gpt2, args.unfreeze_last_gpt2, cfg.gpt2.n_layer
         )
