@@ -140,7 +140,10 @@ class InferenceEngine:
 
         # device-resident LRU of uploaded videos (keyed dir+mtime); repeat
         # requests skip JPEG decode AND the host->device wire
+        import threading
+
         self._video_cache: "OrderedDict" = OrderedDict()
+        self._video_cache_lock = threading.Lock()
         self._video_cache_total = 0
         self._video_cache_bytes = int(
             os.environ.get("VIDEO_CAPTION_VIDEO_CACHE_MB", "256")
@@ -270,22 +273,24 @@ class InferenceEngine:
         if self._video_cache_bytes <= 0:
             return None, None, None
         key, files = self._video_cache_key(frames_dir)
-        hit = self._video_cache.get(key)
-        if hit is not None:
-            self._video_cache.move_to_end(key)
+        with self._video_cache_lock:  # direct engine.infer may be multithreaded
+            hit = self._video_cache.get(key)
+            if hit is not None:
+                self._video_cache.move_to_end(key)
         return key, hit, files
 
     def _video_cache_put(self, key, video: jax.Array) -> None:
         if self._video_cache_bytes <= 0 or key is None:
             return
-        old = self._video_cache.pop(key, None)
-        if old is not None:
-            self._video_cache_total -= old.nbytes
-        self._video_cache[key] = video
-        self._video_cache_total += video.nbytes
-        while self._video_cache_total > self._video_cache_bytes and len(self._video_cache) > 1:
-            _, evicted = self._video_cache.popitem(last=False)
-            self._video_cache_total -= evicted.nbytes
+        with self._video_cache_lock:
+            old = self._video_cache.pop(key, None)
+            if old is not None:
+                self._video_cache_total -= old.nbytes
+            self._video_cache[key] = video
+            self._video_cache_total += video.nbytes
+            while self._video_cache_total > self._video_cache_bytes and len(self._video_cache) > 1:
+                _, evicted = self._video_cache.popitem(last=False)
+                self._video_cache_total -= evicted.nbytes
 
     def _load_video_to_device(self, frames_dir: str, chunk: int = 4) -> jax.Array:
         """Pipelined upload: decode CHUNK frames, start their (async)
