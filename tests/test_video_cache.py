@@ -35,15 +35,17 @@ def engine(tiny_cfg, tiny_params):
 def test_repeat_dir_hits_cache(engine, tmp_path, monkeypatch):
     d = _frames(tmp_path, "v0")
     calls = []
-    import video_caption_tpu.engine as eng_mod
+    import video_caption_tpu.preprocessing.frame_loader as fl_mod
 
-    real = eng_mod.load_video_array_u8
+    real = fl_mod.load_video_packed
 
     def counting(*a, **k):
         calls.append(a)
         return real(*a, **k)
 
-    monkeypatch.setattr(eng_mod, "load_video_array_u8", counting)
+    # the batch miss path loads through load_video_packed (resolved at call
+    # time from the preprocessing module)
+    monkeypatch.setattr(fl_mod, "load_video_packed", counting)
     r1 = engine.infer_batch([d, d])
     n_first = len(calls)
     assert n_first >= 1
@@ -55,11 +57,11 @@ def test_repeat_dir_hits_cache(engine, tmp_path, monkeypatch):
 def test_duplicate_dirs_in_one_batch_load_once(engine, tmp_path, monkeypatch):
     d = _frames(tmp_path, "v1", seed=1)
     calls = []
-    import video_caption_tpu.engine as eng_mod
+    import video_caption_tpu.preprocessing.frame_loader as fl_mod
 
-    real = eng_mod.load_video_array_u8
+    real = fl_mod.load_video_packed
     monkeypatch.setattr(
-        eng_mod, "load_video_array_u8",
+        fl_mod, "load_video_packed",
         lambda *a, **k: (calls.append(a), real(*a, **k))[1],
     )
     engine.infer_batch([d, d, d, d])

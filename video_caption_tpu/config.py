@@ -111,6 +111,12 @@ class CompileConfig:
     fuse_request_program is off: one host<->device round trip instead of
     three wins on latency (measured p50 129 vs 138 ms, p90 138 vs 170 ms)."""
     early_stop_decode: bool = _env_bool("VIDEO_CAPTION_EARLY_STOP", False)
+    yuv420_wire: bool = _env_bool("VIDEO_CAPTION_YUV420_WIRE", True)
+    """Ship raw 4:2:0 JPEG planes (1.5 bytes/pixel) and finish the decode —
+    chroma upsample + YCbCr->RGB, bit-exact with libjpeg/PIL — on the device
+    (preprocessing/yuv420.py). Halves host->device bytes for the canonical
+    224x224 4:2:0 dataset frames; per-video fallback to the RGB path when a
+    frame is not 4:2:0 at the target size."""
     quantize_decoder_int8: bool = _env_bool("VIDEO_CAPTION_INT8", False)
     """Weight-only int8 for the GPT-2 block matmuls (per-output-channel
     scales): halves decode HBM weight traffic vs bf16. Off by default —

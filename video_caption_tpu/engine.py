@@ -152,6 +152,12 @@ class InferenceEngine:
         self._prefix_fn = jax.jit(
             partial(cm.video_to_prefix, cfg=self.model_cfg), static_argnames=()
         )
+        # raw 4:2:0 planes -> RGB uint8 on device (bit-exact with the PIL
+        # path; preprocessing/yuv420.py) — the wire carries half the bytes
+        from video_caption_tpu.preprocessing.yuv420 import yuv420_packed_to_rgb_chw
+
+        size = config.image_size
+        self._yuv_fn = jax.jit(lambda p: yuv420_packed_to_rgb_chw(p, size))
         self._prompt_ids: Dict[str, np.ndarray] = {}
 
     @classmethod
@@ -318,9 +324,18 @@ class InferenceEngine:
         while len(picks) < self.config.num_frames:
             picks.append(picks[-1])
         size = self.config.image_size
+        use_yuv = self.config.compile.yuv420_wire
         device_chunks = []
         for start in range(0, len(picks), chunk):
             part = picks[start : start + chunk]
+            if use_yuv:
+                from video_caption_tpu.native.loader import load_frames_native_yuv420
+
+                packed = load_frames_native_yuv420(part, size)
+                if packed is not None:
+                    # half the wire bytes; decode finishes on-device (async)
+                    device_chunks.append(self._yuv_fn(jax.device_put(packed)))
+                    continue
             arr = load_frames_native_u8(part, size)
             if arr is None:
                 arr = np.stack([load_image_u8(p, size) for p in part])
@@ -473,16 +488,27 @@ class InferenceEngine:
                 if miss_by_key:
                     import os as _os
 
+                    from video_caption_tpu.preprocessing.frame_loader import (
+                        load_video_packed,
+                    )
+
                     groups = list(miss_by_key.values())
                     workers = min(len(groups), max(_os.cpu_count() or 1, 1), 8)
+                    use_yuv = self.config.compile.yuv420_wire
                     with ThreadPoolExecutor(max_workers=workers) as pool:
-                        for idxs, arr in zip(groups, pool.map(
-                            lambda d: load_video_array_u8(
-                                d, self.config.num_frames, self.config.image_size
+                        for idxs, (kind, arr) in zip(groups, pool.map(
+                            lambda d: load_video_packed(
+                                d, self.config.num_frames, self.config.image_size,
+                                allow_yuv420=use_yuv,
                             ),
                             [frames_dirs[g[0]] for g in groups],
                         )):
-                            vid = jax.device_put(arr)
+                            if kind == "yuv420":
+                                # raw planes ride the wire (half the bytes);
+                                # on-device finish is async like the upload
+                                vid = self._yuv_fn(jax.device_put(arr))[None]
+                            else:
+                                vid = jax.device_put(arr)
                             self._video_cache_put(keys[idxs[0]], vid)
                             for i in idxs:
                                 slots[i] = vid

@@ -238,7 +238,118 @@ bool process_frame_u8(const char* path, int out_size, unsigned char* out) {
   return true;
 }
 
+// ---- Raw YUV 4:2:0 decode (planes ship to the device; upsample + color
+// conversion run there) ------------------------------------------------------
+//
+// jpeg_read_raw_data returns the post-IDCT component samples BEFORE
+// upsampling/color conversion — for a 4:2:0 JPEG that is 1.5 bytes/pixel
+// instead of 3 (RGB), halving the host->device wire bytes. The device
+// program replicates libjpeg's h2v2 fancy upsample + ycc_rgb fixed-point
+// conversion bit-exactly (preprocessing/yuv420.py), so the resulting RGB
+// bytes equal the PIL path and captions are unchanged.
+//
+// Only the identity-resize case qualifies (image dims == requested size —
+// the canonical 224x224 processed-dataset frames): a resize would need
+// full-resolution RGB on the host anyway. Non-420/non-YCbCr/wrong-size
+// frames return "unsupported" and the caller falls back to the RGB path.
+
+// Decode one JPEG's raw 4:2:0 planes. Layout of `out` (packed, per frame):
+//   Y  [size*size] | Cb [cs*cs] | Cr [cs*cs]   where cs = (size+1)/2.
+// Returns 0 ok, 1 decode error, 2 unsupported (caller falls back).
+int decode_jpeg_yuv420(const char* path, int size, unsigned char* out) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return 1;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(fp);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, fp);
+  jpeg_read_header(&cinfo, TRUE);
+  const bool is_420 =
+      cinfo.num_components == 3 && cinfo.jpeg_color_space == JCS_YCbCr &&
+      cinfo.comp_info[0].h_samp_factor == 2 && cinfo.comp_info[0].v_samp_factor == 2 &&
+      cinfo.comp_info[1].h_samp_factor == 1 && cinfo.comp_info[1].v_samp_factor == 1 &&
+      cinfo.comp_info[2].h_samp_factor == 1 && cinfo.comp_info[2].v_samp_factor == 1;
+  if (!is_420 || static_cast<int>(cinfo.image_width) != size ||
+      static_cast<int>(cinfo.image_height) != size) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(fp);
+    return 2;
+  }
+  cinfo.raw_data_out = TRUE;
+  jpeg_start_decompress(&cinfo);
+
+  const int cs = (size + 1) / 2;
+  unsigned char* y_out = out;
+  unsigned char* cb_out = out + static_cast<size_t>(size) * size;
+  unsigned char* cr_out = cb_out + static_cast<size_t>(cs) * cs;
+
+  // libjpeg delivers one iMCU row per call: 16 luma rows + 8 chroma rows for
+  // h2v2. Row buffers must be padded to the block grid.
+  const int ypadw = cinfo.comp_info[0].width_in_blocks * DCTSIZE;
+  const int cpadw = cinfo.comp_info[1].width_in_blocks * DCTSIZE;
+  std::vector<unsigned char> ybuf(16ull * ypadw), cbbuf(8ull * cpadw), crbuf(8ull * cpadw);
+  JSAMPROW yr[16], cbr[8], crr[8];
+  for (int i = 0; i < 16; ++i) yr[i] = ybuf.data() + static_cast<size_t>(i) * ypadw;
+  for (int i = 0; i < 8; ++i) {
+    cbr[i] = cbbuf.data() + static_cast<size_t>(i) * cpadw;
+    crr[i] = crbuf.data() + static_cast<size_t>(i) * cpadw;
+  }
+  JSAMPARRAY planes[3] = {yr, cbr, crr};
+  int yrow = 0, crow = 0;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    jpeg_read_raw_data(&cinfo, planes, 16);
+    for (int i = 0; i < 16 && yrow < size; ++i, ++yrow)
+      std::memcpy(y_out + static_cast<size_t>(yrow) * size, yr[i], size);
+    for (int i = 0; i < 8 && crow < cs; ++i, ++crow) {
+      std::memcpy(cb_out + static_cast<size_t>(crow) * cs, cbr[i], cs);
+      std::memcpy(cr_out + static_cast<size_t>(crow) * cs, crr[i], cs);
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(fp);
+  return 0;
+}
+
 }  // namespace
+
+// out: [n_frames, size*size + 2*cs*cs] packed raw planes (cs = (size+1)/2).
+// Returns 0 ok; i+1 = frame i failed to decode; -(i+1) = frame i unsupported
+// (not 4:2:0 YCbCr at exactly [size x size]) — caller falls back to RGB.
+extern "C" int vct_load_frames_yuv420(const char* const* paths, int n_frames,
+                                      int size, unsigned char* out,
+                                      int n_threads) {
+  if (n_frames <= 0) return 0;
+  if (n_threads <= 0) n_threads = 1;
+  n_threads = std::min(n_threads, n_frames);
+  const int cs = (size + 1) / 2;
+  const size_t frame_elems =
+      static_cast<size_t>(size) * size + 2ull * cs * cs;
+  std::atomic<int> next(0), failed(0);
+  auto worker = [&]() {
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n_frames || failed.load()) break;
+      const int rc = decode_jpeg_yuv420(
+          paths[i], size, out + static_cast<size_t>(i) * frame_elems);
+      if (rc != 0) {
+        int expect = 0;
+        failed.compare_exchange_strong(expect, rc == 2 ? -(i + 1) : i + 1);
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  return failed.load();
+}
 
 extern "C" int vct_load_frames_u8(const char* const* paths, int n_frames,
                                   int image_size, unsigned char* out,

@@ -127,3 +127,38 @@ def load_video_array_u8(
         pad = np.repeat(imgs_arr[-1:], num_frames - len(picks), axis=0)
         imgs_arr = np.concatenate([imgs_arr, pad], axis=0)
     return imgs_arr[None]
+
+
+def load_video_packed(
+    frames_dir: Union[str, Path],
+    num_frames: int = 8,
+    image_size: int = 224,
+    use_native: bool = _USE_NATIVE,
+    allow_yuv420: bool = True,
+):
+    """frames_dir -> ("yuv420", [T, plane_len] uint8) or ("rgb", [1,T,3,H,W]
+    uint8).
+
+    The wire-optimal load: canonical 4:2:0 JPEGs at exactly image_size ship
+    as raw decoded planes (1.5 bytes/pixel — half the RGB bytes on the
+    host->device link) and the device finishes the decode bit-exactly
+    (preprocessing/yuv420.py). Anything else falls back to the RGB uint8
+    path for the WHOLE video (one format per video keeps the device
+    conversion a single fixed-shape program)."""
+    frames_dir = Path(frames_dir)
+    files = list_frames(frames_dir)
+    if not files:
+        raise FileNotFoundError(f"No frame_*.jpg files found under {frames_dir}")
+    picks = sample_frame_paths(files, num_frames)
+    if use_native and allow_yuv420:
+        from video_caption_tpu.native.loader import load_frames_native_yuv420
+
+        packed = load_frames_native_yuv420(picks, image_size)
+        if packed is not None:
+            if len(picks) < num_frames:
+                pad = np.repeat(packed[-1:], num_frames - len(picks), axis=0)
+                packed = np.concatenate([packed, pad], axis=0)
+            return "yuv420", packed
+    return "rgb", load_video_array_u8(
+        frames_dir, num_frames, image_size, use_native=use_native
+    )
