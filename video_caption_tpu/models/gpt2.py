@@ -93,6 +93,55 @@ def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> 
     return (y * scale + bias).astype(x.dtype)
 
 
+def _attend(
+    q: jax.Array,          # [B,S,nh,hd] — queries of the S new tokens
+    k_cache: jax.Array,    # [B,max_len,nh,hd] — ALREADY containing the new K
+    v_cache: jax.Array,
+    blk: Params,
+    offset: jax.Array,
+    valid_mask: jax.Array,
+    cfg: GPT2Config,
+) -> jax.Array:
+    """Attention of S new tokens at absolute positions [offset, offset+S)
+    against an updated cache, plus the output projection. Returns [B,S,H].
+    Shared by the scan and the unrolled-decode layer loops so both compute
+    bit-identical results."""
+    from video_caption_tpu.models.quantize import block_weight
+
+    dt = cfg.dtype
+    b, s = q.shape[0], q.shape[1]
+    h = cfg.n_embd
+    max_len = k_cache.shape[1]
+
+    if cfg.use_pallas_decode and s == 1:
+        # single-token step: valid_mask only marks columns <= current position,
+        # so it already encodes causality
+        from video_caption_tpu.ops.pallas.decode_attention import decode_attention
+
+        fused = decode_attention(
+            q[:, 0].astype(dt), k_cache.astype(dt), v_cache.astype(dt),
+            valid_mask,
+        )
+        if fused is not None:
+            out = fused.reshape(b, 1, h)
+            return out @ block_weight(blk, "proj_w", dt) + blk["proj_b"].astype(dt)
+
+    scale = cfg.head_dim ** -0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k_cache.astype(q.dtype), preferred_element_type=jnp.float32
+    ) * scale  # [B,nh,S,max_len]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (s, max_len), 1)
+    row_abs = offset + jax.lax.broadcasted_iota(jnp.int32, (s, max_len), 0)
+    causal = col <= row_abs  # [S, max_len]
+    mask = causal[None, None, :, :] & (valid_mask[:, None, None, :] > 0)
+    logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    attn = jax.nn.softmax(logits, axis=-1).astype(dt)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v_cache.astype(dt))
+    out = out.reshape(b, s, h)
+    return out @ block_weight(blk, "proj_w", dt) + blk["proj_b"].astype(dt)
+
+
 def _cached_attention(
     x: jax.Array,
     blk: Params,
@@ -110,42 +159,13 @@ def _cached_attention(
     from video_caption_tpu.models.quantize import block_weight
 
     b, s, h = x.shape
-    max_len = k_cache.shape[1]
     qkv = x @ block_weight(blk, "attn_w", x.dtype) + blk["attn_b"].astype(x.dtype)
     qkv = qkv.reshape(b, s, 3, cfg.n_head, cfg.head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,S,nh,hd]
 
     k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, offset, 0, 0))
     v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, offset, 0, 0))
-
-    if cfg.use_pallas_decode and s == 1:
-        # single-token step: valid_mask only marks columns <= current position,
-        # so it already encodes causality
-        from video_caption_tpu.ops.pallas.decode_attention import decode_attention
-
-        fused = decode_attention(
-            q[:, 0].astype(x.dtype), k_cache.astype(x.dtype), v_cache.astype(x.dtype),
-            valid_mask,
-        )
-        if fused is not None:
-            out = fused.reshape(b, 1, h)
-            out = out @ block_weight(blk, "proj_w", x.dtype) + blk["proj_b"].astype(x.dtype)
-            return out, k_cache, v_cache
-
-    scale = cfg.head_dim ** -0.5
-    logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k_cache.astype(q.dtype), preferred_element_type=jnp.float32
-    ) * scale  # [B,nh,S,max_len]
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (s, max_len), 1)
-    row_abs = offset + jax.lax.broadcasted_iota(jnp.int32, (s, max_len), 0)
-    causal = col <= row_abs  # [S, max_len]
-    mask = causal[None, None, :, :] & (valid_mask[:, None, None, :] > 0)
-    logits = jnp.where(mask, logits, jnp.float32(-1e30))
-    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v_cache.astype(x.dtype))
-    out = out.reshape(b, s, h)
-    out = out @ block_weight(blk, "proj_w", x.dtype) + blk["proj_b"].astype(x.dtype)
+    out = _attend(q, k_cache, v_cache, blk, offset, valid_mask, cfg)
     return out, k_cache, v_cache
 
 
@@ -158,26 +178,62 @@ def gpt2_forward(
     offset: jax.Array,          # scalar int32 — cache write offset
     cfg: GPT2Config,
 ) -> Tuple[jax.Array, Cache]:
-    """Unified prefill/decode forward. Returns (logits [B,S,V] fp32, new cache)."""
+    """Unified prefill/decode forward. Returns (logits [B,S,V] fp32, new cache).
+
+    Layer-loop structure is chosen by the (static) token count:
+
+    - prefill / training (S > 1): ``lax.scan`` over stacked blocks and
+      per-layer cache slices — compact HLO, runs once per sequence.
+    - decode (S == 1): PYTHON-UNROLLED layer loop over the STACKED cache
+      buffers. The scan form made the cache ride xs/ys, and XLA re-stacked
+      both [L,B,max_len,H] caches every token step (profiler: copies +
+      dynamic-update-slices were ~58% of the decode program). Unrolled, each
+      layer issues one tiny in-place dynamic_update_slice (the new token's
+      K/V) against the loop-carried buffer and reads its own layer via a
+      static slice that fuses into the attention ops — no restacking.
+    """
     dt = cfg.dtype
     x = inputs_embeds.astype(dt) + params["wpe"][positions].astype(dt)
 
     from video_caption_tpu.models.quantize import block_weight
 
-    def body(carry, xs):
-        xv = carry
-        blk, kc, vc = xs
-        a_in = _layer_norm(xv, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
-        a_out, kc, vc = _cached_attention(a_in, blk, kc, vc, offset, valid_mask, cfg)
-        xv = xv + a_out
-        m_in = _layer_norm(xv, blk["ln2_scale"], blk["ln2_bias"], cfg.ln_eps)
-        m = m_in @ block_weight(blk, "fc_w", dt) + blk["fc_b"].astype(dt)
-        m = jax.nn.gelu(m.astype(jnp.float32), approximate=True).astype(dt)
-        m = m @ block_weight(blk, "out_w", dt) + blk["out_b"].astype(dt)
-        xv = xv + m
-        return xv, (kc, vc)
+    if inputs_embeds.shape[1] == 1:
+        k_all, v_all = cache["k"], cache["v"]
+        for layer in range(cfg.n_layer):
+            blk = jax.tree.map(lambda a: a[layer], params["blocks"])
+            a_in = _layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
+            b, s, h = a_in.shape
+            qkv = a_in @ block_weight(blk, "attn_w", dt) + blk["attn_b"].astype(dt)
+            qkv = qkv.reshape(b, s, 3, cfg.n_head, cfg.head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k.astype(k_all.dtype)[None], (layer, 0, offset, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v.astype(v_all.dtype)[None], (layer, 0, offset, 0, 0))
+            a_out = _attend(q, k_all[layer], v_all[layer], blk, offset,
+                            valid_mask, cfg)
+            x = x + a_out
+            m_in = _layer_norm(x, blk["ln2_scale"], blk["ln2_bias"], cfg.ln_eps)
+            m = m_in @ block_weight(blk, "fc_w", dt) + blk["fc_b"].astype(dt)
+            m = jax.nn.gelu(m.astype(jnp.float32), approximate=True).astype(dt)
+            m = m @ block_weight(blk, "out_w", dt) + blk["out_b"].astype(dt)
+            x = x + m
+        new_k, new_v = k_all, v_all
+    else:
+        def body(carry, xs):
+            xv = carry
+            blk, kc, vc = xs
+            a_in = _layer_norm(xv, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
+            a_out, kc, vc = _cached_attention(a_in, blk, kc, vc, offset, valid_mask, cfg)
+            xv = xv + a_out
+            m_in = _layer_norm(xv, blk["ln2_scale"], blk["ln2_bias"], cfg.ln_eps)
+            m = m_in @ block_weight(blk, "fc_w", dt) + blk["fc_b"].astype(dt)
+            m = jax.nn.gelu(m.astype(jnp.float32), approximate=True).astype(dt)
+            m = m @ block_weight(blk, "out_w", dt) + blk["out_b"].astype(dt)
+            xv = xv + m
+            return xv, (kc, vc)
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (params["blocks"], cache["k"], cache["v"]))
+        x, (new_k, new_v) = jax.lax.scan(body, x, (params["blocks"], cache["k"], cache["v"]))
     x = _layer_norm(x, params["lnf_scale"], params["lnf_bias"], cfg.ln_eps)
     logits = jnp.einsum(
         "bsh,vh->bsv", x, params["wte"].astype(dt), preferred_element_type=jnp.float32
@@ -210,7 +266,15 @@ def gpt2_beam_step(
     - the GENERATED region is append-only: row r writes step t's K/V at
       physical row r, column t; the beam reorder only permutes the tiny
       ancestry index ``anc`` (anc[r, j] = physical row whose column-j entry
-      is row r's ancestor), and attention gathers gen K/V through ``anc``.
+      is row r's ancestor). Attention does NOT gather K/V through ``anc``
+      (a [R,N,nh,hd] gather materialized ~280 MB/step of copies at the
+      production batch — gathers run far below HBM peak on TPU). Instead
+      each beam attends DENSELY to all K physical rows of its own video and
+      an ancestry one-hot mask kills the non-ancestor columns before the
+      softmax: masked logits are -inf, so their probabilities are exactly
+      0.0 and the weighted sum equals the gathered version while staying
+      pure-matmul on the MXU (measured: beam decode stage 205 -> 171 ms at
+      batch 32 x 2 presets x 3 beams, reports/roofline.json).
 
     Returns (logits [R, V] fp32, new gen_cache).
     """
@@ -224,59 +288,72 @@ def gpt2_beam_step(
     s0 = prefill_cache["k"].shape[2]
     x = token_embeds.astype(dt) + params["wpe"][positions].astype(dt)   # [R, H]
 
-    gen_col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)         # [1,1,N]
-    gen_mask = gen_col <= t                                             # causal: j <= t
     scale = cfg.head_dim ** -0.5
+    # ancestry one-hot: sel[b, kq, kv, j] = "video b's query beam kq has its
+    # step-j ancestor K/V in physical row b*K + kv (and j <= t)". Computed
+    # ONCE per step — it is layer-independent.
+    anc_b = anc.reshape(b, k_beams, n)
+    row_of = (jnp.arange(b, dtype=anc.dtype) * k_beams)[:, None, None, None] + \
+        jnp.arange(k_beams, dtype=anc.dtype)[None, None, :, None]       # [B,1,Kv,1]
+    sel = (anc_b[:, :, None, :] == row_of) & \
+        (jnp.arange(n, dtype=jnp.int32)[None, None, None, :] <= t)      # [B,Kq,Kv,N]
+    sel = sel[:, :, None, :, :]                                         # [B,Kq,1,Kv,N]
 
-    def body(carry, xs):
-        xv = carry                                                      # [R, H]
-        blk, pk, pv, gk, gv = xs
-        a_in = _layer_norm(xv, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
+    # PYTHON-UNROLLED layer loop (same rationale as gpt2_forward's decode
+    # branch): the layer-scan form re-stacked the [L,R,N,H] gen caches every
+    # token step; unrolled, each layer issues one tiny in-place write against
+    # the loop-carried stacked buffer and reads its own layer as a static
+    # slice that fuses into the attention einsums.
+    gk_all, gv_all = gen_cache["k"], gen_cache["v"]     # [L,R,N,nh,hd]
+    pk_all, pv_all = prefill_cache["k"], prefill_cache["v"]
+    for layer in range(cfg.n_layer):
+        blk = jax.tree.map(lambda a, _l=layer: a[_l], params["blocks"])
+        a_in = _layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
         qkv = a_in @ block_weight(blk, "attn_w", dt) + blk["attn_b"].astype(dt)
         qkv = qkv.reshape(r, 3, cfg.n_head, cfg.head_dim)
         q, new_k, new_v = qkv[:, 0], qkv[:, 1], qkv[:, 2]               # [R, nh, hd]
 
-        # append-only write at (own row, column t)
-        gk = jax.lax.dynamic_update_slice(
-            gk, new_k.astype(gk.dtype)[:, None], (0, t, 0, 0))
-        gv = jax.lax.dynamic_update_slice(
-            gv, new_v.astype(gv.dtype)[:, None], (0, t, 0, 0))
+        # append-only write at (layer, own row, column t)
+        gk_all = jax.lax.dynamic_update_slice(
+            gk_all, new_k.astype(gk_all.dtype)[None, :, None], (layer, 0, t, 0, 0))
+        gv_all = jax.lax.dynamic_update_slice(
+            gv_all, new_v.astype(gv_all.dtype)[None, :, None], (layer, 0, t, 0, 0))
 
         # prefill attention: beams of one video share the same prefill K/V
         qb = q.reshape(b, k_beams, cfg.n_head, cfg.head_dim)
-        lp_ = jnp.einsum("bkhd,bshd->bkhs", qb, pk.astype(dt),
+        lp_ = jnp.einsum("bkhd,bshd->bkhs", qb, pk_all[layer].astype(dt),
                          preferred_element_type=jnp.float32) * scale    # [B,K,nh,S0]
         lp_ = jnp.where(prefill_valid[:, None, None, :] > 0, lp_, jnp.float32(-1e30))
         lp_ = lp_.reshape(r, cfg.n_head, s0)
 
-        # generated attention through the ancestry map
-        gk_eff = gk[anc, jnp.arange(n)[None, :]]                        # [R,N,nh,hd]
-        gv_eff = gv[anc, jnp.arange(n)[None, :]]
-        lg = jnp.einsum("rhd,rnhd->rhn", q, gk_eff.astype(dt),
-                        preferred_element_type=jnp.float32) * scale     # [R,nh,N]
-        lg = jnp.where(gen_mask, lg, jnp.float32(-1e30))
+        # generated attention: DENSE over the video's K physical rows, with
+        # the ancestry one-hot masking non-ancestor columns to -inf (their
+        # post-softmax weight is exactly 0.0, so this equals the gathered
+        # formulation without materializing [R,N,nh,hd] K/V copies)
+        gkb = gk_all[layer].reshape(b, k_beams, n, cfg.n_head, cfg.head_dim)
+        gvb = gv_all[layer].reshape(b, k_beams, n, cfg.n_head, cfg.head_dim)
+        lg = jnp.einsum("bqhd,bknhd->bqhkn", qb, gkb.astype(dt),
+                        preferred_element_type=jnp.float32) * scale     # [B,Kq,nh,Kv,N]
+        lg = jnp.where(sel, lg, jnp.float32(-1e30))
+        lg = lg.reshape(r, cfg.n_head, k_beams * n)
 
         attn = jax.nn.softmax(jnp.concatenate([lp_, lg], axis=-1), axis=-1).astype(dt)
         ap, ag = attn[..., :s0], attn[..., s0:]
         out_p = jnp.einsum("bkhs,bshd->bkhd", ap.reshape(b, k_beams, cfg.n_head, s0),
-                           pv.astype(dt)).reshape(r, cfg.n_head, cfg.head_dim)
-        out_g = jnp.einsum("rhn,rnhd->rhd", ag, gv_eff.astype(dt))
+                           pv_all[layer].astype(dt)).reshape(r, cfg.n_head, cfg.head_dim)
+        out_g = jnp.einsum("bqhkn,bknhd->bqhd",
+                           ag.reshape(b, k_beams, cfg.n_head, k_beams, n),
+                           gvb.astype(dt)).reshape(r, cfg.n_head, cfg.head_dim)
         out = (out_p + out_g).reshape(r, h)
         out = out @ block_weight(blk, "proj_w", dt) + blk["proj_b"].astype(dt)
-        xv = xv + out
+        x = x + out
 
-        m_in = _layer_norm(xv, blk["ln2_scale"], blk["ln2_bias"], cfg.ln_eps)
+        m_in = _layer_norm(x, blk["ln2_scale"], blk["ln2_bias"], cfg.ln_eps)
         m = m_in @ block_weight(blk, "fc_w", dt) + blk["fc_b"].astype(dt)
         m = jax.nn.gelu(m.astype(jnp.float32), approximate=True).astype(dt)
         m = m @ block_weight(blk, "out_w", dt) + blk["out_b"].astype(dt)
-        xv = xv + m
-        return xv, (gk, gv)
-
-    x, (new_gk, new_gv) = jax.lax.scan(
-        body, x,
-        (params["blocks"], prefill_cache["k"], prefill_cache["v"],
-         gen_cache["k"], gen_cache["v"]),
-    )
+        x = x + m
+    new_gk, new_gv = gk_all, gv_all
     x = _layer_norm(x, params["lnf_scale"], params["lnf_bias"], cfg.ln_eps)
     logits = jnp.einsum(
         "rh,vh->rv", x, params["wte"].astype(dt), preferred_element_type=jnp.float32
