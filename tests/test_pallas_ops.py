@@ -99,3 +99,45 @@ def test_gpt2_decode_with_pallas_attention_matches(tiny_params, tiny_cfg):
     pallas_cfg = dataclasses.replace(tiny_cfg.gpt2, use_pallas_decode=True)
     fused = np.asarray(generate(params, pallas_cfg, emb, dp))
     np.testing.assert_array_equal(base, fused)
+
+
+def test_encoder_attention_matches_xla():
+    from video_caption_tpu.ops.pallas import encoder_attention as ea
+
+    n, nh, s, hd = 2, 4, 13, 64  # odd S like the 197-token ViT sequence
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(keys[0], (n, nh, s, hd), jnp.float32)
+    k = jax.random.normal(keys[1], (n, nh, s, hd), jnp.float32)
+    v = jax.random.normal(keys[2], (n, nh, s, hd), jnp.float32)
+    out = ea.encoder_attention(q, k, v)
+    assert out is not None and ea.last_backend == "pallas"
+
+    scale = hd ** -0.5
+    logits = jnp.einsum("nhqd,nhkd->nhqk", q, k, preferred_element_type=jnp.float32) * scale
+    ref = jnp.einsum("nhqk,nhkd->nhqd", jax.nn.softmax(logits, -1).astype(q.dtype), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_encoder_attention_bad_shape_falls_back():
+    from video_caption_tpu.ops.pallas import encoder_attention as ea
+
+    q = jnp.zeros((2, 4, 13, 60))  # head dim not multiple of 8
+    assert ea.encoder_attention(q, q, q) is None
+    assert ea.last_backend == "xla-fallback"
+    assert ea.encoder_attention(jnp.zeros((2, 13, 60)), q, q) is None  # ndim
+
+
+def test_vit_encode_with_pallas_attention_matches(tiny_cfg, tiny_params):
+    """Full encoder forward with the attention kernel must match the XLA
+    path (the kernel computes identical math; on CPU it runs interpreted)."""
+    import dataclasses
+
+    from video_caption_tpu.models import vit as vt
+
+    cfg = tiny_cfg.vit
+    video = jax.random.normal(jax.random.PRNGKey(7), (2, 3, 3, 32, 32))
+    params = tiny_params["encoder"]
+    base = np.asarray(vt.vit_encode(params, video, cfg))
+    pallas_cfg = dataclasses.replace(cfg, use_pallas_attention=True)
+    fused = np.asarray(vt.vit_encode(params, video, pallas_cfg))
+    np.testing.assert_allclose(fused, base, rtol=2e-5, atol=2e-5)

@@ -69,7 +69,8 @@ def check_alignment(image_size: int = 224, num_frames: int = 4, seed: int = 0) -
 
     # 3. pallas kernels vs XLA path
     pallas_cfg = dataclasses.replace(
-        golden_cfg, vit=dataclasses.replace(base_vit, use_pallas_pool=True),
+        golden_cfg,
+        vit=dataclasses.replace(base_vit, use_pallas_pool=True, use_pallas_attention=True),
         use_pallas_projector=True,
     )
     from jax.experimental.pallas import tpu as pltpu

@@ -100,6 +100,9 @@ class CompileConfig:
     use_pallas_fused_pool: bool = _env_bool("VIDEO_CAPTION_PALLAS_POOL", True)
     use_pallas_prefix_projector: bool = _env_bool("VIDEO_CAPTION_PALLAS_PROJ", True)
     use_pallas_decode_attention: bool = _env_bool("VIDEO_CAPTION_PALLAS_DECODE", False)
+    use_pallas_encoder_attention: bool = _env_bool("VIDEO_CAPTION_PALLAS_ATTN", True)
+    """VMEM-resident single-pass encoder attention (5x the XLA schedule at
+    production batch on v5e, bit-identical outputs; encoder_attention.py)."""
     donate_buffers: bool = True
     fuse_request_program: bool = _env_bool("VIDEO_CAPTION_FUSE_REQUEST", False)
     """One jitted program per request (prefix + every decode group) vs one

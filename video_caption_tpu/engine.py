@@ -55,6 +55,7 @@ def model_config_from_inference(config: InferenceConfig) -> cm.CaptionModelConfi
             image_size=config.image_size,
             dtype=dtype,
             use_pallas_pool=config.compile.use_pallas_fused_pool,
+            use_pallas_attention=config.compile.use_pallas_encoder_attention,
         ),
         gpt2=g2.GPT2Config(
             dtype=dtype,

@@ -44,6 +44,12 @@ class ViTConfig:
     out_dim: int = 256
     dtype: Any = jnp.bfloat16  # compute dtype
     use_pallas_pool: bool = False
+    use_pallas_attention: bool = False
+    """Single-pass VMEM-resident attention kernel for the 197-token encoder
+    sequences (ops/pallas/encoder_attention.py) — measured 5x the XLA
+    schedule per standalone layer call (10.4 -> 2.1 ms device time) and
+    314 -> 242 ms for the full bs=32 x 16-frame encode. Falls back to the
+    einsum path off-TPU."""
     gelu_approx: bool = True
     """tanh-approx GELU in the MLP. The reference mutates timm's exact GELU to
     approximate='tanh' at construction (video_encoder.py:124-133,
@@ -133,10 +139,16 @@ def _attention(x: jax.Array, blk: Params, cfg: ViTConfig) -> jax.Array:
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
-    scale = cfg.head_dim ** -0.5
-    logits = jnp.einsum("nhqd,nhkd->nhqk", q, k, preferred_element_type=jnp.float32) * scale
-    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
+    out = None
+    if cfg.use_pallas_attention:
+        from video_caption_tpu.ops.pallas.encoder_attention import encoder_attention
+
+        out = encoder_attention(q, k, v)  # None -> XLA fallback
+    if out is None:
+        scale = cfg.head_dim ** -0.5
+        logits = jnp.einsum("nhqd,nhkd->nhqk", q, k, preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(n, s, h)
     return out @ blk["proj_w"].astype(x.dtype) + blk["proj_b"].astype(x.dtype)
 
