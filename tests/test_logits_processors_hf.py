@@ -177,3 +177,56 @@ def test_sample_top_k_top_p_distribution_exact():
     # zero-probability tokens never drawn; kept tokens near reference probs
     assert np.all(hist[probs_ref == 0] == 0)
     np.testing.assert_allclose(hist[probs_ref > 0], probs_ref[probs_ref > 0], atol=0.04)
+
+
+def test_topk_processed_matches_full_chain_oracle():
+    """Candidate-set top-k (no [B,V] scatters) must equal top-k of the
+    full-vocab processor chain for penalty>=1 at every step index."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from video_caption_tpu.decode import logits_process as lp
+
+    b, v, n = 4, 257, 10
+    key = jax.random.PRNGKey(11)
+    gen = jax.random.randint(jax.random.PRNGKey(12), (b, n), 0, v, jnp.int32)
+    for t_val in (0, 1, 3, 7, 9):
+        scores = jax.random.normal(jax.random.fold_in(key, t_val), (b, v), jnp.float32)
+        t = jnp.int32(t_val)
+        oracle = lp.apply_repetition_penalty(scores, gen, t, 1.1)
+        oracle = lp.apply_no_repeat_ngram(oracle, gen, t, 3)
+        oracle = lp.apply_min_new_tokens(oracle, t, 5, eos_id=7)
+        ov, oi = jax.lax.top_k(oracle, 6)
+        fv, fi = lp.topk_processed(scores, gen, t, 6, 1.1, 3, 5, 7)
+        np.testing.assert_allclose(np.asarray(fv), np.asarray(ov), rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(fi), np.asarray(oi))
+
+
+def test_generate_candidate_vs_scatter_paths_identical(tiny_params, tiny_cfg):
+    """Beam + sampled decodes produce identical tokens through the
+    candidate-set path and the full-vocab scatter path."""
+    import jax
+    import numpy as np
+    from video_caption_tpu.decode import generate as gen_mod
+    from video_caption_tpu.decode.generate import DecodeParams, generate
+
+    params = tiny_params["decoder"]
+    emb = jax.random.normal(jax.random.PRNGKey(5), (2, 4, tiny_cfg.gpt2.n_embd)) * 0.1
+    cases = [
+        DecodeParams(max_new_tokens=8, num_beams=3, min_new_tokens=2, eos_id=127),
+        DecodeParams(max_new_tokens=8, num_beams=1, temperature=0.9, top_p=0.9,
+                     top_k=5, min_new_tokens=2, eos_id=127),
+        DecodeParams(max_new_tokens=8, num_beams=1, min_new_tokens=2, eos_id=127),
+    ]
+    for dp in cases:
+        rng = jax.random.PRNGKey(3)
+        fast = np.asarray(generate(params, tiny_cfg.gpt2, emb, dp, rng))
+        orig = gen_mod._candidate_path_ok
+        gen_mod._candidate_path_ok = lambda _dp: False
+        try:
+            jax.clear_caches()  # drop the jitted fast-path program
+            slow = np.asarray(generate(params, tiny_cfg.gpt2, emb, dp, rng))
+        finally:
+            gen_mod._candidate_path_ok = orig
+            jax.clear_caches()
+        np.testing.assert_array_equal(fast, slow)

@@ -62,6 +62,21 @@ def _process_logits(
     return logits
 
 
+def _candidate_path_ok(dp: DecodeParams) -> bool:
+    """The candidate-set processor shortcut (lp.topk_processed) is exact only
+    when every processor can only LOWER scores — i.e. repetition_penalty >= 1
+    (all preset values are; HF default is 1.0). Otherwise the scatter-based
+    full-vocab chain runs."""
+    return dp.repetition_penalty >= 1.0
+
+
+def _topk_processed(last_scores, generated, t, k, dp: DecodeParams):
+    return lp.topk_processed(
+        last_scores, generated, t, k,
+        dp.repetition_penalty, dp.no_repeat_ngram_size, dp.min_new_tokens, dp.eos_id,
+    )
+
+
 def _prefill(
     gpt2_params,
     gpt2_cfg: g2.GPT2Config,
@@ -114,20 +129,33 @@ def greedy_or_sample(
 
     def step(carry, t):
         last_logits, cache, valid, generated, finished, rng = carry
-        logits = _process_logits(last_logits, generated, t, dp)
-        if dp.do_sample:
-            logits = lp.apply_temperature(logits, dp.temperature)
-            rng, sub = jax.random.split(rng)
-            if dp.top_k > 0:
-                # k-way sampling: one partial-sort, no [B,V] filter pass or
-                # full-vocab categorical (distribution-exact; see
-                # logits_process.sample_top_k_top_p)
-                token = lp.sample_top_k_top_p(sub, logits, dp.top_k, dp.top_p)
+        fast = _candidate_path_ok(dp) and (not dp.do_sample or dp.top_k > 0)
+        if fast:
+            # candidate-set path: processors touch only the raw top-(k+bound)
+            # values — no [B,V] scatter passes (lp.topk_processed docstring)
+            if dp.do_sample:
+                rng, sub = jax.random.split(rng)
+                vals, idxs = _topk_processed(last_logits, generated, t, dp.top_k, dp)
+                vals = lp.apply_temperature(vals, dp.temperature)
+                token = lp.sample_sorted_top_p(sub, vals, idxs, dp.top_p)
             else:
-                logits = lp.apply_top_p(logits, dp.top_p)
-                token = jax.random.categorical(sub, logits, axis=-1)
+                _, idxs = _topk_processed(last_logits, generated, t, 1, dp)
+                token = idxs[:, 0]
         else:
-            token = jnp.argmax(logits, axis=-1)
+            logits = _process_logits(last_logits, generated, t, dp)
+            if dp.do_sample:
+                logits = lp.apply_temperature(logits, dp.temperature)
+                rng, sub = jax.random.split(rng)
+                if dp.top_k > 0:
+                    # k-way sampling: one partial-sort, no [B,V] filter pass
+                    # or full-vocab categorical (distribution-exact; see
+                    # logits_process.sample_top_k_top_p)
+                    token = lp.sample_top_k_top_p(sub, logits, dp.top_k, dp.top_p)
+                else:
+                    logits = lp.apply_top_p(logits, dp.top_p)
+                    token = jax.random.categorical(sub, logits, axis=-1)
+            else:
+                token = jnp.argmax(logits, axis=-1)
         token = jnp.where(finished, dp.eos_id, token.astype(jnp.int32))
         generated = jax.lax.dynamic_update_slice(generated, token[:, None], (0, t))
         finished = finished | (token == dp.eos_id)
@@ -201,13 +229,26 @@ def beam_search(
         # HF beam semantics: processors run on LOG-SOFTMAX scores (greedy runs
         # them on raw logits) — order matters for repetition penalty.
         logp = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)  # [B*K, V]
-        logp = _process_logits(logp, flat_gen, t, dp)
-        v = logp.shape[-1]
-        cand = beam_scores.reshape(b * k, 1) + logp
-        cand = cand.reshape(b, k * v)
-        top_scores, top_idx = jax.lax.top_k(cand, 2 * k)          # [B, 2K]
-        parent = top_idx // v                                      # beam index
-        token = (top_idx % v).astype(jnp.int32)
+        if _candidate_path_ok(dp):
+            # candidate-set path: per-row exact top-2K of the processed
+            # scores from the raw top-(2K+bound) (lp.topk_processed), then
+            # the cross-beam top-2K runs over [B, K*2K] instead of [B, K*V]
+            # — deletes the [R,V] scatter passes AND shrinks the big sort
+            row_vals, row_idx = _topk_processed(logp, flat_gen, t, 2 * k, dp)
+            cand = beam_scores.reshape(b * k, 1) + row_vals       # [B*K, 2K]
+            cand = cand.reshape(b, k * 2 * k)
+            top_scores, pick = jax.lax.top_k(cand, 2 * k)         # [B, 2K]
+            parent = pick // (2 * k)                              # beam index
+            token = jnp.take_along_axis(row_idx.reshape(b, k * 2 * k), pick, axis=1)
+            token = token.astype(jnp.int32)
+        else:
+            logp = _process_logits(logp, flat_gen, t, dp)
+            v = logp.shape[-1]
+            cand = beam_scores.reshape(b * k, 1) + logp
+            cand = cand.reshape(b, k * v)
+            top_scores, top_idx = jax.lax.top_k(cand, 2 * k)      # [B, 2K]
+            parent = top_idx // v                                  # beam index
+            token = (top_idx % v).astype(jnp.int32)
 
         is_eos = token == dp.eos_id
         # --- finished-hypothesis update (normalized by generated length incl. eos)
