@@ -215,7 +215,7 @@ def beam_search(
     last_logits = jnp.repeat(last_logits, k, axis=0)    # [R, V]
     row_len_flat = jnp.repeat(row_len, k, axis=0)       # [R]
 
-    gen_cache = g2.init_cache(gpt2_cfg, r, n)           # [L, R, N, nh, hd]
+    gen_cache = g2.init_cache(gpt2_cfg, r, n)           # {kv: [L, R, N, 2, nh, hd]}
     anc = jnp.zeros((r, n), jnp.int32)                  # ancestry: col j's writer row
 
     beam_scores = jnp.tile(jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), neg_inf)]), (b, 1))

@@ -7,7 +7,8 @@ loss. The reference leans on HF ``GPT2LMHeadModel`` with *dynamic*
 every step, so this module is built around:
 
 - a **preallocated HBM-resident KV cache** of static ``max_len``
-  (SURVEY §5.7): ``{'k','v'}: [L, B, max_len, n_head, head_dim]``,
+  (SURVEY §5.7): ``{'kv': [L, B, max_len, 2, n_head, head_dim]}`` with K and
+  V interleaved so each decode layer issues one cache write (init_cache),
 - one unified forward for prefill (S>1 at offset 0) and decode (S=1 at
   offset t) so a single compiled program serves the scan-based decode loop,
 - ``lax.scan`` over stacked block parameters AND the per-layer cache slices
@@ -79,10 +80,16 @@ def init_gpt2_params(key: jax.Array, cfg: GPT2Config) -> Params:
 
 
 def init_cache(cfg: GPT2Config, batch: int, max_len: int, dtype: Any = None) -> Cache:
-    """Preallocated static-shape KV cache (lives in HBM between steps)."""
+    """Preallocated static-shape KV cache (lives in HBM between steps).
+
+    K and V are interleaved in ONE buffer ``[L, B, max_len, 2, nh, hd]``
+    (index 0 = K, 1 = V): the decode step's per-layer cache write is then a
+    single dynamic_update_slice instead of two. Those writes are in-place
+    but overhead-dominated (~35us each on v5e regardless of size), so
+    halving the count saves ~0.4 ms per decode step at n_layer=12."""
     dtype = dtype or cfg.dtype
-    shape = (cfg.n_layer, batch, max_len, cfg.n_head, cfg.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    shape = (cfg.n_layer, batch, max_len, 2, cfg.n_head, cfg.head_dim)
+    return {"kv": jnp.zeros(shape, dtype)}
 
 
 def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
@@ -145,28 +152,27 @@ def _attend(
 def _cached_attention(
     x: jax.Array,
     blk: Params,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+    kv_cache: jax.Array,   # [B, max_len, 2, nh, hd] — one layer's interleaved K|V
     offset: jax.Array,
     valid_mask: jax.Array,
     cfg: GPT2Config,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array]:
     """Attention for S new tokens at absolute positions [offset, offset+S).
 
     ``valid_mask`` is [B, max_len] over *cache columns* (1 = real token after
-    this forward's writes). Returns (output [B,S,H], new_k, new_v caches).
+    this forward's writes). Returns (output [B,S,H], new kv cache).
     """
     from video_caption_tpu.models.quantize import block_weight
 
     b, s, h = x.shape
     qkv = x @ block_weight(blk, "attn_w", x.dtype) + blk["attn_b"].astype(x.dtype)
     qkv = qkv.reshape(b, s, 3, cfg.n_head, cfg.head_dim)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,S,nh,hd]
-
-    k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, offset, 0, 0))
-    v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, offset, 0, 0))
-    out = _attend(q, k_cache, v_cache, blk, offset, valid_mask, cfg)
-    return out, k_cache, v_cache
+    q = qkv[:, :, 0]                                     # [B,S,nh,hd]
+    kv_new = qkv[:, :, 1:3]                              # [B,S,2,nh,hd]
+    kv_cache = jax.lax.dynamic_update_slice(
+        kv_cache, kv_new.astype(kv_cache.dtype), (0, offset, 0, 0, 0))
+    out = _attend(q, kv_cache[:, :, 0], kv_cache[:, :, 1], blk, offset, valid_mask, cfg)
+    return out, kv_cache
 
 
 def gpt2_forward(
@@ -198,47 +204,47 @@ def gpt2_forward(
     from video_caption_tpu.models.quantize import block_weight
 
     if inputs_embeds.shape[1] == 1:
-        k_all, v_all = cache["k"], cache["v"]
+        kv_all = cache["kv"]
         for layer in range(cfg.n_layer):
             blk = jax.tree.map(lambda a: a[layer], params["blocks"])
             a_in = _layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
             b, s, h = a_in.shape
             qkv = a_in @ block_weight(blk, "attn_w", dt) + blk["attn_b"].astype(dt)
             qkv = qkv.reshape(b, s, 3, cfg.n_head, cfg.head_dim)
-            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-            k_all = jax.lax.dynamic_update_slice(
-                k_all, k.astype(k_all.dtype)[None], (layer, 0, offset, 0, 0))
-            v_all = jax.lax.dynamic_update_slice(
-                v_all, v.astype(v_all.dtype)[None], (layer, 0, offset, 0, 0))
-            a_out = _attend(q, k_all[layer], v_all[layer], blk, offset,
-                            valid_mask, cfg)
+            q = qkv[:, :, 0]
+            # ONE interleaved K|V write per layer (init_cache docstring)
+            kv_all = jax.lax.dynamic_update_slice(
+                kv_all, qkv[:, :, 1:3].astype(kv_all.dtype)[None],
+                (layer, 0, offset, 0, 0, 0))
+            a_out = _attend(q, kv_all[layer, :, :, 0], kv_all[layer, :, :, 1],
+                            blk, offset, valid_mask, cfg)
             x = x + a_out
             m_in = _layer_norm(x, blk["ln2_scale"], blk["ln2_bias"], cfg.ln_eps)
             m = m_in @ block_weight(blk, "fc_w", dt) + blk["fc_b"].astype(dt)
             m = jax.nn.gelu(m.astype(jnp.float32), approximate=True).astype(dt)
             m = m @ block_weight(blk, "out_w", dt) + blk["out_b"].astype(dt)
             x = x + m
-        new_k, new_v = k_all, v_all
+        new_kv = kv_all
     else:
         def body(carry, xs):
             xv = carry
-            blk, kc, vc = xs
+            blk, kvc = xs
             a_in = _layer_norm(xv, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
-            a_out, kc, vc = _cached_attention(a_in, blk, kc, vc, offset, valid_mask, cfg)
+            a_out, kvc = _cached_attention(a_in, blk, kvc, offset, valid_mask, cfg)
             xv = xv + a_out
             m_in = _layer_norm(xv, blk["ln2_scale"], blk["ln2_bias"], cfg.ln_eps)
             m = m_in @ block_weight(blk, "fc_w", dt) + blk["fc_b"].astype(dt)
             m = jax.nn.gelu(m.astype(jnp.float32), approximate=True).astype(dt)
             m = m @ block_weight(blk, "out_w", dt) + blk["out_b"].astype(dt)
             xv = xv + m
-            return xv, (kc, vc)
+            return xv, kvc
 
-        x, (new_k, new_v) = jax.lax.scan(body, x, (params["blocks"], cache["k"], cache["v"]))
+        x, new_kv = jax.lax.scan(body, x, (params["blocks"], cache["kv"]))
     x = _layer_norm(x, params["lnf_scale"], params["lnf_bias"], cfg.ln_eps)
     logits = jnp.einsum(
         "bsh,vh->bsv", x, params["wte"].astype(dt), preferred_element_type=jnp.float32
     )
-    return logits, {"k": new_k, "v": new_v}
+    return logits, {"kv": new_kv}
 
 
 def gpt2_beam_step(
@@ -284,8 +290,8 @@ def gpt2_beam_step(
     r, h = token_embeds.shape
     b = prefill_valid.shape[0]
     k_beams = num_beams
-    n = gen_cache["k"].shape[2]
-    s0 = prefill_cache["k"].shape[2]
+    n = gen_cache["kv"].shape[2]
+    s0 = prefill_cache["kv"].shape[2]
     x = token_embeds.astype(dt) + params["wpe"][positions].astype(dt)   # [R, H]
 
     scale = cfg.head_dim ** -0.5
@@ -304,24 +310,24 @@ def gpt2_beam_step(
     # token step; unrolled, each layer issues one tiny in-place write against
     # the loop-carried stacked buffer and reads its own layer as a static
     # slice that fuses into the attention einsums.
-    gk_all, gv_all = gen_cache["k"], gen_cache["v"]     # [L,R,N,nh,hd]
-    pk_all, pv_all = prefill_cache["k"], prefill_cache["v"]
+    gkv_all = gen_cache["kv"]                           # [L,R,N,2,nh,hd]
+    pkv_all = prefill_cache["kv"]                       # [L,B,S0,2,nh,hd]
     for layer in range(cfg.n_layer):
         blk = jax.tree.map(lambda a, _l=layer: a[_l], params["blocks"])
         a_in = _layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
         qkv = a_in @ block_weight(blk, "attn_w", dt) + blk["attn_b"].astype(dt)
         qkv = qkv.reshape(r, 3, cfg.n_head, cfg.head_dim)
-        q, new_k, new_v = qkv[:, 0], qkv[:, 1], qkv[:, 2]               # [R, nh, hd]
+        q = qkv[:, 0]                                                   # [R, nh, hd]
 
-        # append-only write at (layer, own row, column t)
-        gk_all = jax.lax.dynamic_update_slice(
-            gk_all, new_k.astype(gk_all.dtype)[None, :, None], (layer, 0, t, 0, 0))
-        gv_all = jax.lax.dynamic_update_slice(
-            gv_all, new_v.astype(gv_all.dtype)[None, :, None], (layer, 0, t, 0, 0))
+        # append-only interleaved K|V write at (layer, own row, column t) —
+        # ONE dynamic_update_slice per layer (init_cache docstring)
+        gkv_all = jax.lax.dynamic_update_slice(
+            gkv_all, qkv[:, 1:3].astype(gkv_all.dtype)[None, :, None],
+            (layer, 0, t, 0, 0, 0))
 
         # prefill attention: beams of one video share the same prefill K/V
         qb = q.reshape(b, k_beams, cfg.n_head, cfg.head_dim)
-        lp_ = jnp.einsum("bkhd,bshd->bkhs", qb, pk_all[layer].astype(dt),
+        lp_ = jnp.einsum("bkhd,bshd->bkhs", qb, pkv_all[layer, :, :, 0].astype(dt),
                          preferred_element_type=jnp.float32) * scale    # [B,K,nh,S0]
         lp_ = jnp.where(prefill_valid[:, None, None, :] > 0, lp_, jnp.float32(-1e30))
         lp_ = lp_.reshape(r, cfg.n_head, s0)
@@ -330,8 +336,8 @@ def gpt2_beam_step(
         # the ancestry one-hot masking non-ancestor columns to -inf (their
         # post-softmax weight is exactly 0.0, so this equals the gathered
         # formulation without materializing [R,N,nh,hd] K/V copies)
-        gkb = gk_all[layer].reshape(b, k_beams, n, cfg.n_head, cfg.head_dim)
-        gvb = gv_all[layer].reshape(b, k_beams, n, cfg.n_head, cfg.head_dim)
+        gkb = gkv_all[layer, :, :, 0].reshape(b, k_beams, n, cfg.n_head, cfg.head_dim)
+        gvb = gkv_all[layer, :, :, 1].reshape(b, k_beams, n, cfg.n_head, cfg.head_dim)
         lg = jnp.einsum("bqhd,bknhd->bqhkn", qb, gkb.astype(dt),
                         preferred_element_type=jnp.float32) * scale     # [B,Kq,nh,Kv,N]
         lg = jnp.where(sel, lg, jnp.float32(-1e30))
@@ -340,7 +346,7 @@ def gpt2_beam_step(
         attn = jax.nn.softmax(jnp.concatenate([lp_, lg], axis=-1), axis=-1).astype(dt)
         ap, ag = attn[..., :s0], attn[..., s0:]
         out_p = jnp.einsum("bkhs,bshd->bkhd", ap.reshape(b, k_beams, cfg.n_head, s0),
-                           pv_all[layer].astype(dt)).reshape(r, cfg.n_head, cfg.head_dim)
+                           pkv_all[layer, :, :, 1].astype(dt)).reshape(r, cfg.n_head, cfg.head_dim)
         out_g = jnp.einsum("bqhkn,bknhd->bqhd",
                            ag.reshape(b, k_beams, cfg.n_head, k_beams, n),
                            gvb.astype(dt)).reshape(r, cfg.n_head, cfg.head_dim)
@@ -353,12 +359,11 @@ def gpt2_beam_step(
         m = jax.nn.gelu(m.astype(jnp.float32), approximate=True).astype(dt)
         m = m @ block_weight(blk, "out_w", dt) + blk["out_b"].astype(dt)
         x = x + m
-    new_gk, new_gv = gk_all, gv_all
     x = _layer_norm(x, params["lnf_scale"], params["lnf_bias"], cfg.ln_eps)
     logits = jnp.einsum(
         "rh,vh->rv", x, params["wte"].astype(dt), preferred_element_type=jnp.float32
     )
-    return logits, {"k": new_gk, "v": new_gv}
+    return logits, {"kv": gkv_all}
 
 
 def gpt2_logits_nocache(
