@@ -105,26 +105,29 @@ def test_encoder_attention_matches_xla():
     from video_caption_tpu.ops.pallas import encoder_attention as ea
 
     n, nh, s, hd = 2, 4, 13, 64  # odd S like the 197-token ViT sequence
-    keys = jax.random.split(jax.random.PRNGKey(3), 3)
-    q = jax.random.normal(keys[0], (n, nh, s, hd), jnp.float32)
-    k = jax.random.normal(keys[1], (n, nh, s, hd), jnp.float32)
-    v = jax.random.normal(keys[2], (n, nh, s, hd), jnp.float32)
-    out = ea.encoder_attention(q, k, v)
+    h = nh * hd
+    qkv = jax.random.normal(jax.random.PRNGKey(3), (n, s, 3 * h), jnp.float32)
+    out = ea.encoder_attention(qkv, nh)
     assert out is not None and ea.last_backend == "pallas"
 
+    r = qkv.reshape(n, s, 3, nh, hd)
+    q = r[:, :, 0].transpose(0, 2, 1, 3)
+    k = r[:, :, 1].transpose(0, 2, 1, 3)
+    v = r[:, :, 2].transpose(0, 2, 1, 3)
     scale = hd ** -0.5
     logits = jnp.einsum("nhqd,nhkd->nhqk", q, k, preferred_element_type=jnp.float32) * scale
     ref = jnp.einsum("nhqk,nhkd->nhqd", jax.nn.softmax(logits, -1).astype(q.dtype), v)
+    ref = ref.transpose(0, 2, 1, 3).reshape(n, s, h)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
 def test_encoder_attention_bad_shape_falls_back():
     from video_caption_tpu.ops.pallas import encoder_attention as ea
 
-    q = jnp.zeros((2, 4, 13, 60))  # head dim not multiple of 8
-    assert ea.encoder_attention(q, q, q) is None
+    assert ea.encoder_attention(jnp.zeros((2, 13, 4 * 3 * 60)), 4) is None  # hd=60
     assert ea.last_backend == "xla-fallback"
-    assert ea.encoder_attention(jnp.zeros((2, 13, 60)), q, q) is None  # ndim
+    assert ea.encoder_attention(jnp.zeros((2, 4, 13, 64)), 4) is None  # ndim
+    assert ea.encoder_attention(jnp.zeros((2, 13, 100)), 4) is None  # not div by 3*nh
 
 
 def test_vit_encode_with_pallas_attention_matches(tiny_cfg, tiny_params):

@@ -2,26 +2,30 @@
 
 The encoder's hot op is softmax(Q K^T / sqrt(d)) V over 197-token sequences,
 batched over (frames x heads). At production batch sizes (32 videos x 16
-frames x 12 heads = 6144 head-sequences) XLA schedules this as separate
-batched-matmul / softmax / batched-matmul programs and streams the [M,S,S]
-logits tensor through HBM between them. A 197x64 head-sequence is small
-enough that q, k, v AND the logits tile all fit in VMEM at once, so one
-Pallas program per group of ``g`` head-sequences runs the whole
-matmul-softmax-matmul chain on-core with zero HBM traffic for the
-intermediates. Measured on v5e-1 at M=6144: 10.4 ms (XLA) -> 2.1 ms per
-layer call, device time.
+frames x 12 heads) XLA schedules this as separate batched-matmul / softmax /
+batched-matmul programs and streams the [M,S,S] logits tensor through HBM
+between them. A 197x64 head-sequence is small enough that q, k, v AND the
+logits tile all fit in VMEM at once, so one Pallas program per group of
+``g`` frames runs the whole matmul-softmax-matmul chain on-core with zero
+HBM traffic for the intermediates.
+
+The kernel consumes the RAW fused-QKV activation ``[N, S, 3H]`` and emits
+``[N, S, H]`` with heads re-merged, using only static minor-dim slices per
+head. This layout contract matters as much as the fusion: a first version
+taking pre-split ``[N*nh, S, hd]`` q/k/v forced XLA to materialize four
+layout copies around the custom call — 4.9 ms/layer, 59 ms of a 242 ms
+encode (profiler: copy.23/24/25/26/27). Consuming the matmul's own output
+shape deletes them.
 
 No flash-attention tiling is needed (or helpful) at S=197 — this is the
 "whole problem in VMEM" regime; jax's tpu flash_attention kernel measured
 ~8x SLOWER here because its 128-block machinery pads 197 -> 256 and runs a
 grid of tiny tiles.
 
-Math is the same as the XLA path in models/vit.py::_attention (f32 logits
-and softmax, compute-dtype attention weights, f32-accumulated AV); measured
-standalone on v5e the two paths are bit-identical. Inside the full fused
-encoder program XLA reassociates its own schedule slightly, so end-to-end
-encoder outputs agree to bf16 rounding (max 7e-3 over a 12-block trunk),
-well inside the deployment bf16-vs-fp32 alignment gate (5e-2).
+Math matches the XLA einsum path in models/vit.py::_attention (f32 logits
+and softmax, compute-dtype attention weights, f32-accumulated AV); end-to-end
+encoder outputs agree to bf16 rounding (the fused XLA schedule reassociates
+slightly), well inside the deployment bf16-vs-fp32 alignment gate (5e-2).
 
 Fallback contract (reference: core/operators/cupy_vit_pool.py:139-152):
 ``encoder_attention`` returns None for unsupported shapes/platforms and the
@@ -45,83 +49,86 @@ log = logging.getLogger(__name__)
 last_backend: Optional[str] = None
 last_error: Optional[str] = None
 
-# Group sizes tried largest-first; throughput is flat across 8..16 on v5e
-# (2.07-2.12 ms at M=6144) and falls off above 16 (2.42 ms at 24).
-_GROUP_CANDIDATES = (16, 12, 8, 6, 4, 3, 2)
+_GROUP_CANDIDATES = (8, 4, 2, 1)   # frames per program
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[:]                                   # [G, S, hd]
-    k = k_ref[:]
-    v = v_ref[:]
-    logits = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale                                      # [G, S, S] f32
-    attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    o_ref[:] = jax.lax.dot_general(
-        attn, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+def _attn_qkv_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int, scale: float):
+    blk = qkv_ref[:]                               # [G, S, 3H]
+    h = num_heads * head_dim
+    # per-head static slices on the minor dim — no transposes, no reshapes
+    for hi in range(num_heads):
+        q = blk[:, :, hi * head_dim:(hi + 1) * head_dim]           # [G,S,hd]
+        k = blk[:, :, h + hi * head_dim:h + (hi + 1) * head_dim]
+        v = blk[:, :, 2 * h + hi * head_dim:2 * h + (hi + 1) * head_dim]
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale                                  # [G, S, S] f32
+        attn = jax.nn.softmax(logits, axis=-1).astype(blk.dtype)
+        out = jax.lax.dot_general(
+            attn, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+        o_ref[:, :, hi * head_dim:(hi + 1) * head_dim] = out
 
 
-@partial(jax.jit, static_argnames=("g",))
-def _batched_attention(q: jax.Array, k: jax.Array, v: jax.Array, g: int) -> jax.Array:
-    m, s, hd = q.shape
-    kern = partial(_attn_kernel, scale=hd ** -0.5)
-    spec = pl.BlockSpec((g, s, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+@partial(jax.jit, static_argnames=("num_heads", "g"))
+def _batched_attention(qkv: jax.Array, num_heads: int, g: int) -> jax.Array:
+    n, s, h3 = qkv.shape
+    h = h3 // 3
+    hd = h // num_heads
+    kern = partial(_attn_qkv_kernel, num_heads=num_heads, head_dim=hd, scale=hd ** -0.5)
     return pl.pallas_call(
         kern,
-        grid=(m // g,),
-        in_specs=[spec] * 3,
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((m, s, hd), q.dtype),
+        grid=(n // g,),
+        in_specs=[pl.BlockSpec((g, s, h3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((g, s, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, s, h), qkv.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
-            flops=4 * m * s * s * hd,
-            bytes_accessed=4 * m * s * hd * q.dtype.itemsize,
-            transcendentals=m * s * s,
+            flops=4 * n * num_heads * s * s * hd,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize * 4 // 3,
+            transcendentals=n * num_heads * s * s,
         ),
-    )(q, k, v)
+    )(qkv)
 
 
-def _pick_group(m: int, s: int, hd: int, itemsize: int) -> Optional[int]:
+def _pick_group(n: int, s: int, h: int, itemsize: int) -> Optional[int]:
     for g in _GROUP_CANDIDATES:
-        if m % g:
+        if n % g:
             continue
-        # double-buffered in/out blocks + the f32 logits tile must fit VMEM
-        block_bytes = 2 * 4 * g * s * hd * itemsize + g * s * s * 4
+        # double-buffered in/out blocks + one head's f32 logits tile
+        block_bytes = 2 * g * s * 4 * h * itemsize + g * s * s * 4
         if block_bytes <= _VMEM_LIMIT // 2:
             return g
     return None
 
 
-def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> Optional[jax.Array]:
-    """[N, nh, S, hd] q/k/v -> [N, nh, S, hd] attention output, or None
-    (caller falls back to the XLA einsum path in models/vit.py)."""
+def encoder_attention(qkv: jax.Array, num_heads: int) -> Optional[jax.Array]:
+    """Fused-QKV activation [N, S, 3H] -> attention output [N, S, H] with
+    heads merged, or None (caller falls back to the XLA einsum path in
+    models/vit.py::_attention)."""
     global last_backend, last_error
     from video_caption_tpu.ops.pallas.platform import on_tpu
 
     if not on_tpu():
         last_backend, last_error = "xla-fallback", "non-TPU backend"
         return None
-    if q.ndim != 4 or q.shape != k.shape or q.shape != v.shape:
+    if qkv.ndim != 3 or qkv.shape[-1] % (3 * num_heads):
         last_backend, last_error = "xla-fallback", "unsupported shape"
         return None
-    n, nh, s, hd = q.shape
-    m = n * nh
+    n, s, h3 = qkv.shape
+    hd = h3 // 3 // num_heads
     if hd % 8 or s < 2:
         last_backend, last_error = "xla-fallback", "unaligned head dim"
         return None
-    g = _pick_group(m, s, hd, q.dtype.itemsize)
+    g = _pick_group(n, s, h3 // 3, qkv.dtype.itemsize)
     if g is None:
         last_backend, last_error = "xla-fallback", "no viable group size"
         return None
     try:
-        out = _batched_attention(
-            q.reshape(m, s, hd), k.reshape(m, s, hd), v.reshape(m, s, hd), g
-        )
+        out = _batched_attention(qkv, num_heads, g)
         last_backend, last_error = "pallas", None
-        return out.reshape(n, nh, s, hd)
+        return out
     except Exception as exc:  # pragma: no cover - compile failure path
         last_backend, last_error = "xla-fallback", str(exc)
         log.warning("pallas encoder attention failed; falling back to XLA: %s", exc)
