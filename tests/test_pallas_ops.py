@@ -144,3 +144,24 @@ def test_vit_encode_with_pallas_attention_matches(tiny_cfg, tiny_params):
     pallas_cfg = dataclasses.replace(cfg, use_pallas_attention=True)
     fused = np.asarray(vt.vit_encode(params, video, pallas_cfg))
     np.testing.assert_allclose(fused, base, rtol=2e-5, atol=2e-5)
+
+
+def test_gpt2_decode_layer_kernel_matches(tiny_params, tiny_cfg):
+    """Greedy + sampled decode through the fused whole-layer kernel must
+    produce identical tokens to the stacked XLA path (interpret mode on CPU)."""
+    import dataclasses
+
+    from video_caption_tpu.decode.generate import DecodeParams, generate
+
+    params = tiny_params["decoder"]
+    emb = jax.random.normal(jax.random.PRNGKey(5), (2, 4, tiny_cfg.gpt2.n_embd)) * 0.1
+    kcfg = dataclasses.replace(tiny_cfg.gpt2, use_pallas_decode_layer=True)
+    for dp in (
+        DecodeParams(max_new_tokens=6, num_beams=1, min_new_tokens=2, eos_id=127),
+        DecodeParams(max_new_tokens=6, num_beams=1, temperature=0.9, top_p=0.9,
+                     top_k=5, min_new_tokens=2, eos_id=127),
+    ):
+        rng = jax.random.PRNGKey(3)
+        base = np.asarray(generate(params, tiny_cfg.gpt2, emb, dp, rng))
+        fused = np.asarray(generate(params, kcfg, emb, dp, rng))
+        np.testing.assert_array_equal(base, fused)

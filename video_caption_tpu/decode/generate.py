@@ -83,6 +83,7 @@ def _prefill(
     inputs_embeds: jax.Array,
     max_len: int,
     prefill_mask: Optional[jax.Array] = None,   # [B, S0]; 1 = real token
+    cache_layout: str = "auto",
 ) -> Tuple[jax.Array, g2.Cache, jax.Array, jax.Array]:
     """Run the prompt through the model.
 
@@ -91,7 +92,7 @@ def _prefill(
     attention and position ids count only real tokens. Returns
     (last-token logits, cache, valid, row_lengths)."""
     b, s0, _ = inputs_embeds.shape
-    cache = g2.init_cache(gpt2_cfg, b, max_len)
+    cache = g2.init_cache(gpt2_cfg, b, max_len, layout=cache_layout)
     if prefill_mask is None:
         mask = jnp.ones((b, s0), jnp.int32)
     else:
@@ -119,6 +120,10 @@ def greedy_or_sample(
     b, s0, _ = inputs_embeds.shape
     n = dp.max_new_tokens
     max_len = s0 + n
+    if gpt2_cfg.use_pallas_decode_layer:
+        # one-time compute-dtype weight cast for the fused-step kernel path
+        # (must stay OUTSIDE the scan; g2.prepare_decode_params docstring)
+        gpt2_params = g2.prepare_decode_params(gpt2_params, gpt2_cfg)
     last_logits, cache, valid, row_len = _prefill(
         gpt2_params, gpt2_cfg, inputs_embeds, max_len, prefill_mask
     )
@@ -208,14 +213,16 @@ def beam_search(
 
     # prefill ONCE per video at B rows; beams share it read-only (the split
     # cache: g2.gpt2_beam_step docstring explains why this replaces the
-    # classic gather-the-cache-by-parent step)
+    # classic gather-the-cache-by-parent step). Beam search always uses the
+    # stacked cache layout (gpt2_beam_step's dense-masked attention).
     last_logits, prefill_cache, prefill_valid, row_len = _prefill(
-        gpt2_params, gpt2_cfg, inputs_embeds, s0, prefill_mask
+        gpt2_params, gpt2_cfg, inputs_embeds, s0, prefill_mask,
+        cache_layout="stacked",
     )
     last_logits = jnp.repeat(last_logits, k, axis=0)    # [R, V]
     row_len_flat = jnp.repeat(row_len, k, axis=0)       # [R]
 
-    gen_cache = g2.init_cache(gpt2_cfg, r, n)           # {kv: [L, R, N, 2, nh, hd]}
+    gen_cache = g2.init_cache(gpt2_cfg, r, n, layout="stacked")  # {kv: [L,R,N,2,nh,hd]}
     anc = jnp.zeros((r, n), jnp.int32)                  # ancestry: col j's writer row
 
     beam_scores = jnp.tile(jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), neg_inf)]), (b, 1))

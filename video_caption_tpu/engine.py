@@ -60,6 +60,10 @@ def model_config_from_inference(config: InferenceConfig) -> cm.CaptionModelConfi
         gpt2=g2.GPT2Config(
             dtype=dtype,
             use_pallas_decode=config.compile.use_pallas_decode_attention,
+            use_pallas_decode_layer=(
+                config.compile.use_pallas_decode_layer
+                and not config.compile.quantize_decoder_int8  # kernel reads plain weights
+            ),
         ),
         prefix_len=config.prefix_len,
         ln_scale=config.ln_scale,

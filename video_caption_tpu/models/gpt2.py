@@ -43,6 +43,13 @@ class GPT2Config:
     dtype: Any = jnp.bfloat16
     ln_eps: float = 1e-5
     use_pallas_decode: bool = False   # fused decode-step attention kernel
+    use_pallas_decode_layer: bool = False
+    """Fused whole-layer decode kernel (ops/pallas/decode_layer.py): the
+    single-token step runs each transformer layer as ONE Pallas program
+    over a flat [B, max_len, 2H] cache (LN -> QKV -> in-place cache write ->
+    masked attention -> proj -> LN -> MLP). Commits the flat cache layout at
+    trace time — requires plain (non-int8) weights; gated off-platform in
+    init_cache. Mutually exclusive with use_pallas_decode."""
 
     @property
     def head_dim(self) -> int:
@@ -79,7 +86,8 @@ def init_gpt2_params(key: jax.Array, cfg: GPT2Config) -> Params:
     }
 
 
-def init_cache(cfg: GPT2Config, batch: int, max_len: int, dtype: Any = None) -> Cache:
+def init_cache(cfg: GPT2Config, batch: int, max_len: int, dtype: Any = None,
+               layout: str = "auto") -> Cache:
     """Preallocated static-shape KV cache (lives in HBM between steps).
 
     K and V are interleaved in ONE buffer ``[L, B, max_len, 2, nh, hd]``
@@ -88,8 +96,32 @@ def init_cache(cfg: GPT2Config, batch: int, max_len: int, dtype: Any = None) -> 
     but overhead-dominated (~35us each on v5e regardless of size), so
     halving the count saves ~0.4 ms per decode step at n_layer=12."""
     dtype = dtype or cfg.dtype
+    if cfg.use_pallas_decode_layer and layout != "stacked":
+        from video_caption_tpu.ops.pallas.decode_layer import kernel_path_supported
+
+        if kernel_path_supported(cfg, batch):
+            # fused-step kernel path: FLAT [L, max_len, B, 2H] cache —
+            # max_len leading within a layer because Mosaic only lowers
+            # leading-dim dynamic stores; the whole stacked array is the
+            # aliased in/out of ONE pallas_call per decode step (grid over
+            # layers), so no XLA-level slicing breaks the in-place aliasing
+            flat = (cfg.n_layer, max_len, batch, 2 * cfg.n_embd)
+            return {"kvf": jnp.zeros(flat, dtype)}
     shape = (cfg.n_layer, batch, max_len, 2, cfg.n_head, cfg.head_dim)
     return {"kv": jnp.zeros(shape, dtype)}
+
+
+def prepare_decode_params(params: Params, cfg: GPT2Config) -> Params:
+    """Cast the stacked block weights to the compute dtype ONCE, outside the
+    decode scan, for the fused-step kernel path (decode_layer.py): a cast
+    inside the scan body would materialize a 250 MB copy of the weights
+    every token. No-op casts (already-matching dtypes) trace away."""
+    dt = cfg.dtype
+    blocks = {
+        k: (v.astype(jnp.float32) if k.startswith("ln") else v.astype(dt))
+        for k, v in params["blocks"].items()
+    }
+    return {**params, "blocks": blocks}
 
 
 def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
@@ -202,6 +234,36 @@ def gpt2_forward(
     x = inputs_embeds.astype(dt) + params["wpe"][positions].astype(dt)
 
     from video_caption_tpu.models.quantize import block_weight
+
+    if "kvf" in cache:
+        # fused-step kernel path (flat cache; init_cache docstring). Weights
+        # must be pre-cast via prepare_decode_params OUTSIDE the decode scan.
+        from video_caption_tpu.ops.pallas.decode_layer import gpt2_decode_step
+
+        b = x.shape[0]
+        if inputs_embeds.shape[1] == 1:
+            xb, new_kvf = gpt2_decode_step(
+                x[:, 0, :], cache["kvf"], valid_mask, jnp.asarray(offset),
+                params["blocks"], cfg.n_head, cfg.ln_eps,
+            )
+            x = xb[:, None, :]
+            x = _layer_norm(x, params["lnf_scale"], params["lnf_bias"], cfg.ln_eps)
+            logits = jnp.einsum(
+                "bsh,vh->bsv", x, params["wte"].astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+            return logits, {"kvf": new_kvf}
+        # prefill: run the stacked scan once, then reshape into the flat
+        # [L, max_len, B, 2H] layout the kernel path aliases (one-time copy)
+        max_len = cache["kvf"].shape[1]
+        stacked = {"kv": jnp.zeros(
+            (cfg.n_layer, b, max_len, 2, cfg.n_head, cfg.head_dim),
+            cache["kvf"].dtype)}
+        logits, new_st = gpt2_forward(
+            params, inputs_embeds, positions, valid_mask, stacked, offset, cfg)
+        kvf = new_st["kv"].reshape(
+            cfg.n_layer, b, max_len, 2 * cfg.n_embd).transpose(0, 2, 1, 3)
+        return logits, {"kvf": kvf}
 
     if inputs_embeds.shape[1] == 1:
         kv_all = cache["kv"]
@@ -376,7 +438,7 @@ def gpt2_logits_nocache(
     """Cache-free training forward (teacher forcing; use_cache=False in the
     reference trainer, train_caption_mapper.py compute_loss_local)."""
     b, s, _ = inputs_embeds.shape
-    cache = init_cache(cfg, b, s)
+    cache = init_cache(cfg, b, s, layout="stacked")
     logits, _ = gpt2_forward(
         params, inputs_embeds, positions, attn_mask.astype(jnp.int32), cache,
         jnp.int32(0), cfg,
