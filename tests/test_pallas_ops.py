@@ -165,3 +165,27 @@ def test_gpt2_decode_layer_kernel_matches(tiny_params, tiny_cfg):
         base = np.asarray(generate(params, tiny_cfg.gpt2, emb, dp, rng))
         fused = np.asarray(generate(params, kcfg, emb, dp, rng))
         np.testing.assert_array_equal(base, fused)
+
+
+def test_encoder_attention_kernel_is_differentiable(tiny_cfg, tiny_params):
+    """Joint-training path: grads through vit_encode with the attention
+    kernel must match the XLA path (custom VJP recomputes the reference)."""
+    import dataclasses
+
+    from video_caption_tpu.models import vit as vt
+
+    cfg = tiny_cfg.vit
+    pallas_cfg = dataclasses.replace(cfg, use_pallas_attention=True)
+    video = jax.random.normal(jax.random.PRNGKey(9), (2, 2, 3, 32, 32))
+    params = tiny_params["encoder"]
+
+    def loss(p, c):
+        return jnp.sum(vt.vit_encode(p, video, c) ** 2)
+
+    g_base = jax.grad(lambda p: loss(p, cfg))(params)
+    g_fused = jax.grad(lambda p: loss(p, pallas_cfg))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4),
+        g_base, g_fused,
+    )

@@ -92,6 +92,44 @@ def _batched_attention(qkv: jax.Array, num_heads: int, g: int) -> jax.Array:
     )(qkv)
 
 
+def _xla_reference(qkv: jax.Array, num_heads: int) -> jax.Array:
+    """Pure-XLA mirror of the kernel's math ([N,S,3H] -> [N,S,H]); used as
+    the recompute-based backward for the custom VJP (Pallas kernels have no
+    autodiff rule — without this, stage-1 JOINT training, which backprops
+    through the encoder, could not enable the kernel)."""
+    n, s, h3 = qkv.shape
+    h = h3 // 3
+    hd = h // num_heads
+    r = qkv.reshape(n, s, 3, num_heads, hd)
+    q = r[:, :, 0].transpose(0, 2, 1, 3)
+    k = r[:, :, 1].transpose(0, 2, 1, 3)
+    v = r[:, :, 2].transpose(0, 2, 1, 3)
+    logits = jnp.einsum("nhqd,nhkd->nhqk", q, k,
+                        preferred_element_type=jnp.float32) * (hd ** -0.5)
+    attn = jax.nn.softmax(logits, axis=-1).astype(qkv.dtype)
+    out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
+    return out.transpose(0, 2, 1, 3).reshape(n, s, h)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _attention_with_vjp(qkv: jax.Array, num_heads: int, g: int) -> jax.Array:
+    return _batched_attention(qkv, num_heads, g)
+
+
+def _attention_fwd(qkv, num_heads, g):
+    return _batched_attention(qkv, num_heads, g), qkv
+
+
+def _attention_bwd(num_heads, g, qkv, grad_out):
+    # recompute the XLA reference and differentiate it — same math as the
+    # kernel (f32 logits/softmax), so gradients agree to bf16 rounding
+    _, vjp = jax.vjp(lambda a: _xla_reference(a, num_heads), qkv)
+    return vjp(grad_out)
+
+
+_attention_with_vjp.defvjp(_attention_fwd, _attention_bwd)
+
+
 def _pick_group(n: int, s: int, h: int, itemsize: int) -> Optional[int]:
     for g in _GROUP_CANDIDATES:
         if n % g:
@@ -126,7 +164,7 @@ def encoder_attention(qkv: jax.Array, num_heads: int) -> Optional[jax.Array]:
         last_backend, last_error = "xla-fallback", "no viable group size"
         return None
     try:
-        out = _batched_attention(qkv, num_heads, g)
+        out = _attention_with_vjp(qkv, num_heads, g)
         last_backend, last_error = "pallas", None
         return out
     except Exception as exc:  # pragma: no cover - compile failure path
