@@ -218,7 +218,15 @@ def main() -> None:
     history.append(record)
     hist_path.write_text(json.dumps(history, indent=1))
 
-    print(json.dumps({k: record[k] for k in ("metric", "value", "unit", "vs_baseline")}))
+    # the required four fields first; extra keys carry the link-independent
+    # numbers (the host<->device link swings >5x day to day — the cold
+    # headline inherits that weather, device_caps_per_sec does not)
+    extra = {k: record[k] for k in (
+        "device_caps_per_sec", "warm_cache_caps_per_sec", "p50_latency_ms",
+        "batch_size", "workload",
+    ) if k in record}
+    print(json.dumps({**{k: record[k] for k in ("metric", "value", "unit", "vs_baseline")},
+                      **extra}))
 
 
 if __name__ == "__main__":
