@@ -101,11 +101,11 @@ class CompileConfig:
     use_pallas_prefix_projector: bool = _env_bool("VIDEO_CAPTION_PALLAS_PROJ", True)
     use_pallas_decode_attention: bool = _env_bool("VIDEO_CAPTION_PALLAS_DECODE", False)
     use_pallas_encoder_attention: bool = _env_bool("VIDEO_CAPTION_PALLAS_ATTN", True)
+    """VMEM-resident single-pass encoder attention (5x the XLA schedule at
+    production batch on v5e, bit-identical outputs; encoder_attention.py)."""
     use_pallas_decode_layer: bool = _env_bool("VIDEO_CAPTION_PALLAS_DECODE_LAYER", False)
     """Fused whole-layer decode kernel for the greedy/sampled step
     (ops/pallas/decode_layer.py). Auto-disabled under int8 quantization."""
-    """VMEM-resident single-pass encoder attention (5x the XLA schedule at
-    production batch on v5e, bit-identical outputs; encoder_attention.py)."""
     donate_buffers: bool = True
     fuse_request_program: bool = _env_bool("VIDEO_CAPTION_FUSE_REQUEST", False)
     """One jitted program per request (prefix + every decode group) vs one

@@ -124,6 +124,7 @@ def topk_processed(
     scores and breaks the containment bound — take the scatter path).
     """
     b, v = scores.shape
+    k = min(k, v)  # tiny-vocab configs: degrade exactly like sample_top_k_top_p
     n_buf = generated.shape[1]
     # the penalized superset is {generated tokens} ∪ {eos}: repetition touches
     # exactly the generated buffer, and every ngram-banned continuation

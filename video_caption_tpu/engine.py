@@ -338,8 +338,17 @@ class InferenceEngine:
 
                 packed = load_frames_native_yuv420(part, size)
                 if packed is not None:
-                    # half the wire bytes; decode finishes on-device (async)
-                    device_chunks.append(self._yuv_fn(jax.device_put(packed)))
+                    # half the wire bytes; decode finishes on-device (async).
+                    # Pad a short tail chunk to the fixed chunk size (slicing
+                    # after) so _yuv_fn compiles ONCE — a distinct tail shape
+                    # would otherwise trigger its own XLA compile.
+                    tail = len(part)
+                    if tail < chunk:
+                        packed = np.concatenate(
+                            [packed, np.repeat(packed[-1:], chunk - tail, axis=0)]
+                        )
+                    rgb = self._yuv_fn(jax.device_put(packed))
+                    device_chunks.append(rgb[:tail] if tail < chunk else rgb)
                     continue
             arr = load_frames_native_u8(part, size)
             if arr is None:
