@@ -99,6 +99,34 @@ def decode_group_bytes(params, gcfg, rows: int, num_beams: int,
     return max_new_tokens * (w_bytes + kv)
 
 
+def decode_unified_cost(params, gcfg, group_list, batch: int,
+                        prefix_len: int) -> tuple:
+    """(flops, bytes) of the unified mixed-policy program: all groups run a
+    single scan to the longest horizon; weights stream ONCE per step."""
+    h, L, V = gcfg.n_embd, gcfg.n_layer, gcfg.vocab_size
+    l_max = max(ids.shape[1] for _, _, ids, _ in group_list)
+    s0 = prefix_len + l_max
+    n_max = max(dp.max_new_tokens for dp, *_ in group_list)
+    i_tot = sum(batch * len(idxs) for _, idxs, *_ in group_list)
+    r_tot = sum(batch * len(idxs) * dp.num_beams for dp, idxs, *_ in group_list)
+    dec = params["decoder"]
+    w_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(dec))
+
+    prefill_flops = i_tot * (s0 * L * 24 * h * h + L * 2 * s0 * s0 * h + 2 * s0 * h * V)
+    step_flops = r_tot * (L * 24 * h * h + 2 * h * V)
+    for dp, idxs, *_ in group_list:
+        rg = batch * len(idxs) * dp.num_beams
+        step_flops += rg * L * 4 * h * (s0 + dp.num_beams * n_max)
+    flops = prefill_flops + n_max * step_flops
+
+    gen_kv = r_tot * n_max * L * 2 * h * 2        # bf16 interleaved K|V
+    pre_kv = i_tot * s0 * L * 2 * h * 2
+    # prefill reads the weights once; each of the n_max steps reads weights
+    # ONCE for every group plus both cache regions
+    bytes_ = w_bytes + n_max * (w_bytes + gen_kv + pre_kv)
+    return flops, bytes_
+
+
 # ---------------------------------------------------------------------------
 # measurement
 # ---------------------------------------------------------------------------
@@ -200,6 +228,28 @@ def measure_roofline(engine, batch: int = 16, trials: int = 5,
             decode_group_bytes(engine.params, mc.gpt2, n_rows, dp.num_beams,
                                dp.max_new_tokens, max_len),
         )
+
+    # unified mixed-policy program (the engine's default decode path when
+    # >1 policy group): ONE program for every group — measured against the
+    # sum of the per-group programs above
+    unified = engine._unified_eligible(group_list)
+    if unified:
+        from video_caption_tpu.decode.unified import generate_unified
+
+        prompts = tuple((jnp.asarray(i), jnp.asarray(m))
+                        for _, _, i, m in group_list)
+        dps = tuple(dp for dp, *_ in group_list)
+        keys = tuple(jax.random.PRNGKey(100 + g) for g in range(len(group_list)))
+
+        def run_u():
+            return generate_unified(engine.params["decoder"], mc.gpt2, prefix,
+                                    prompts, dps, keys)
+
+        t_u, _ = _timed(run_u, trials)
+        uf, ub = decode_unified_cost(engine.params, mc.gpt2, group_list, batch,
+                                     mc.prefix_len)
+        add_stage("decode[unified]", t_u, uf, ub)
+        total = t_enc + t_u   # the engine runs ONLY the unified program
 
     result = {
         "device_kind": getattr(jax.devices()[0], "device_kind", "unknown"),

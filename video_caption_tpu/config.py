@@ -127,6 +127,17 @@ class CompileConfig:
     """Weight-only int8 for the GPT-2 block matmuls (per-output-channel
     scales): halves decode HBM weight traffic vs bf16. Off by default —
     captions may deviate from the fp/bf16 reference tokens."""
+    unified_decode: bool = _env_bool("VIDEO_CAPTION_UNIFIED_DECODE", False)
+    """Decode EVERY policy group of a request batch in one compiled program
+    (decode/unified.py, SURVEY §7 hard part 6): the per-step GPT-2 weight
+    streaming is shared across the beam and sampled presets instead of paid
+    once per group. Token outputs are identical to the grouped path. Ignored
+    (grouped fallback) when only one policy group exists, under
+    early_stop_decode, or with the experimental fused decode-layer kernel.
+    Off by default pending optimization: profiled v1 at bs=64 ran 394 ms vs
+    324 ms grouped — the per-group cache row-slices (pkv/gkv[layer, a:b])
+    materialize ~2.8 ms/step of copies that the whole-buffer grouped reads
+    don't pay (reports/: hlo_stats trace 2026-08-17)."""
 
 
 @dataclass(frozen=True)

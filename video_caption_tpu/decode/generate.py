@@ -107,6 +107,51 @@ def _prefill(
     return logits[:, -1, :], cache, valid, row_lengths
 
 
+def sample_select(
+    last_logits: jax.Array,   # [B, V] raw logits from the previous forward
+    generated: jax.Array,     # [B, N] int32
+    finished: jax.Array,      # [B] bool
+    t: jax.Array,             # scalar int32
+    dp: DecodeParams,
+    rng: jax.Array,
+):
+    """One greedy/sampled token-selection step (the non-forward half of
+    ``greedy_or_sample``'s scan body, shared with the unified mixed-policy
+    decode). Returns (token [B], new_generated, new_finished, new_rng)."""
+    b = last_logits.shape[0]
+    fast = _candidate_path_ok(dp) and (not dp.do_sample or dp.top_k > 0)
+    if fast:
+        # candidate-set path: processors touch only the raw top-(k+bound)
+        # values — no [B,V] scatter passes (lp.topk_processed docstring)
+        if dp.do_sample:
+            rng, sub = jax.random.split(rng)
+            vals, idxs = _topk_processed(last_logits, generated, t, dp.top_k, dp)
+            vals = lp.apply_temperature(vals, dp.temperature)
+            token = lp.sample_sorted_top_p(sub, vals, idxs, dp.top_p)
+        else:
+            _, idxs = _topk_processed(last_logits, generated, t, 1, dp)
+            token = idxs[:, 0]
+    else:
+        logits = _process_logits(last_logits, generated, t, dp)
+        if dp.do_sample:
+            logits = lp.apply_temperature(logits, dp.temperature)
+            rng, sub = jax.random.split(rng)
+            if dp.top_k > 0:
+                # k-way sampling: one partial-sort, no [B,V] filter pass
+                # or full-vocab categorical (distribution-exact; see
+                # logits_process.sample_top_k_top_p)
+                token = lp.sample_top_k_top_p(sub, logits, dp.top_k, dp.top_p)
+            else:
+                logits = lp.apply_top_p(logits, dp.top_p)
+                token = jax.random.categorical(sub, logits, axis=-1)
+        else:
+            token = jnp.argmax(logits, axis=-1)
+    token = jnp.where(finished, dp.eos_id, token.astype(jnp.int32))
+    generated = jax.lax.dynamic_update_slice(generated, token[:, None], (0, t))
+    finished = finished | (token == dp.eos_id)
+    return token, generated, finished, rng
+
+
 def greedy_or_sample(
     gpt2_params,
     gpt2_cfg: g2.GPT2Config,
@@ -134,36 +179,9 @@ def greedy_or_sample(
 
     def step(carry, t):
         last_logits, cache, valid, generated, finished, rng = carry
-        fast = _candidate_path_ok(dp) and (not dp.do_sample or dp.top_k > 0)
-        if fast:
-            # candidate-set path: processors touch only the raw top-(k+bound)
-            # values — no [B,V] scatter passes (lp.topk_processed docstring)
-            if dp.do_sample:
-                rng, sub = jax.random.split(rng)
-                vals, idxs = _topk_processed(last_logits, generated, t, dp.top_k, dp)
-                vals = lp.apply_temperature(vals, dp.temperature)
-                token = lp.sample_sorted_top_p(sub, vals, idxs, dp.top_p)
-            else:
-                _, idxs = _topk_processed(last_logits, generated, t, 1, dp)
-                token = idxs[:, 0]
-        else:
-            logits = _process_logits(last_logits, generated, t, dp)
-            if dp.do_sample:
-                logits = lp.apply_temperature(logits, dp.temperature)
-                rng, sub = jax.random.split(rng)
-                if dp.top_k > 0:
-                    # k-way sampling: one partial-sort, no [B,V] filter pass
-                    # or full-vocab categorical (distribution-exact; see
-                    # logits_process.sample_top_k_top_p)
-                    token = lp.sample_top_k_top_p(sub, logits, dp.top_k, dp.top_p)
-                else:
-                    logits = lp.apply_top_p(logits, dp.top_p)
-                    token = jax.random.categorical(sub, logits, axis=-1)
-            else:
-                token = jnp.argmax(logits, axis=-1)
-        token = jnp.where(finished, dp.eos_id, token.astype(jnp.int32))
-        generated = jax.lax.dynamic_update_slice(generated, token[:, None], (0, t))
-        finished = finished | (token == dp.eos_id)
+        token, generated, finished, rng = sample_select(
+            last_logits, generated, finished, t, dp, rng
+        )
 
         # feed the token back for the next step's logits; position ids count
         # only real tokens per row (left-padded batching)
@@ -192,6 +210,96 @@ def greedy_or_sample(
     else:
         carry, _ = jax.lax.scan(step, carry, jnp.arange(n, dtype=jnp.int32))
     return carry[3]
+
+
+def beam_select(
+    last_logits: jax.Array,   # [B*K, V] raw logits from the previous forward
+    beam_scores: jax.Array,   # [B, K]
+    generated: jax.Array,     # [B, K, N]
+    fin_scores: jax.Array,    # [B, K]
+    fin_seqs: jax.Array,      # [B, K, N]
+    t: jax.Array,             # scalar int32
+    dp: DecodeParams,
+    k: int,
+):
+    """One beam-search selection step (the non-forward half of
+    ``beam_search``'s scan body, shared with the unified mixed-policy
+    decode): HF semantics — 2K candidate expansion, EOS candidates move to
+    the finished-hypothesis set, best K non-EOS continue. Returns
+    (new_token [B,K], flat_parent [B*K], new_scores, new_gen,
+    new_fin_scores, new_fin_seqs)."""
+    b = generated.shape[0]
+    n = generated.shape[2]
+    neg_inf = jnp.float32(-1e9)
+    flat_gen = generated.reshape(b * k, n)
+    # HF beam semantics: processors run on LOG-SOFTMAX scores (greedy runs
+    # them on raw logits) — order matters for repetition penalty.
+    logp = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)  # [B*K, V]
+    if _candidate_path_ok(dp):
+        # candidate-set path: per-row exact top-2K of the processed
+        # scores from the raw top-(2K+bound) (lp.topk_processed), then
+        # the cross-beam top-2K runs over [B, K*2K] instead of [B, K*V]
+        # — deletes the [R,V] scatter passes AND shrinks the big sort
+        row_vals, row_idx = _topk_processed(logp, flat_gen, t, 2 * k, dp)
+        cand = beam_scores.reshape(b * k, 1) + row_vals       # [B*K, 2K]
+        cand = cand.reshape(b, k * 2 * k)
+        top_scores, pick = jax.lax.top_k(cand, 2 * k)         # [B, 2K]
+        parent = pick // (2 * k)                              # beam index
+        token = jnp.take_along_axis(row_idx.reshape(b, k * 2 * k), pick, axis=1)
+        token = token.astype(jnp.int32)
+    else:
+        logp = _process_logits(logp, flat_gen, t, dp)
+        v = logp.shape[-1]
+        cand = beam_scores.reshape(b * k, 1) + logp
+        cand = cand.reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(cand, 2 * k)      # [B, 2K]
+        parent = top_idx // v                                  # beam index
+        token = (top_idx % v).astype(jnp.int32)
+
+    is_eos = token == dp.eos_id
+    # --- finished-hypothesis update (normalized by generated length incl. eos)
+    eos_norm = jnp.where(is_eos, top_scores / (t.astype(jnp.float32) + 1.0), -jnp.inf)
+    cand_seqs = jnp.take_along_axis(generated, parent[..., None], axis=1)  # [B,2K,N]
+    eos_col = jnp.broadcast_to(token[..., None], cand_seqs.shape[:2] + (1,))
+    cand_seqs = jax.lax.dynamic_update_slice_in_dim(
+        cand_seqs, eos_col, t, axis=2
+    )
+    all_scores = jnp.concatenate([fin_scores, eos_norm], axis=1)          # [B, 3K]
+    all_seqs = jnp.concatenate([fin_seqs, cand_seqs], axis=1)             # [B, 3K, N]
+    new_fin_scores, fin_pick = jax.lax.top_k(all_scores, k)
+    new_fin_seqs = jnp.take_along_axis(all_seqs, fin_pick[..., None], axis=1)
+
+    # --- continuing beams: best K non-eos among the 2K
+    cont_rank = top_scores + jnp.where(is_eos, neg_inf * 2, 0.0)
+    _, cont_pick = jax.lax.top_k(cont_rank, k)                             # [B, K]
+    new_scores = jnp.take_along_axis(top_scores, cont_pick, axis=1)
+    new_parent = jnp.take_along_axis(parent, cont_pick, axis=1)           # [B, K]
+    new_token = jnp.take_along_axis(token, cont_pick, axis=1)
+
+    new_gen = jnp.take_along_axis(generated, new_parent[..., None], axis=1)
+    new_gen = jax.lax.dynamic_update_slice_in_dim(
+        new_gen, new_token[..., None], t, axis=2
+    )
+
+    # beam reorder = permute the tiny ancestry index, NOT the cache
+    flat_parent = (new_parent + jnp.arange(b)[:, None] * k).reshape(-1)
+    return new_token, flat_parent, new_scores, new_gen, new_fin_scores, new_fin_seqs
+
+
+def beam_finalize(
+    beam_scores: jax.Array,   # [B, K]
+    generated: jax.Array,     # [B, K, N]
+    fin_scores: jax.Array,    # [B, K]
+    fin_seqs: jax.Array,      # [B, K, N]
+    n: int,
+) -> jax.Array:
+    """Merge running (unfinished) beams, normalized by full length (HF
+    finalize); returns the best sequence per batch row [B, N]."""
+    run_norm = beam_scores / float(n)
+    all_scores = jnp.concatenate([fin_scores, run_norm], axis=1)
+    all_seqs = jnp.concatenate([fin_seqs, generated], axis=1)
+    best = jnp.argmax(all_scores, axis=1)
+    return jnp.take_along_axis(all_seqs, best[:, None, None], axis=1)[:, 0, :]
 
 
 def beam_search(
@@ -232,58 +340,8 @@ def beam_search(
 
     def step(carry, t):
         last_logits, gen_cache, anc, beam_scores, generated, fin_scores, fin_seqs = carry
-        flat_gen = generated.reshape(b * k, n)
-        # HF beam semantics: processors run on LOG-SOFTMAX scores (greedy runs
-        # them on raw logits) — order matters for repetition penalty.
-        logp = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)  # [B*K, V]
-        if _candidate_path_ok(dp):
-            # candidate-set path: per-row exact top-2K of the processed
-            # scores from the raw top-(2K+bound) (lp.topk_processed), then
-            # the cross-beam top-2K runs over [B, K*2K] instead of [B, K*V]
-            # — deletes the [R,V] scatter passes AND shrinks the big sort
-            row_vals, row_idx = _topk_processed(logp, flat_gen, t, 2 * k, dp)
-            cand = beam_scores.reshape(b * k, 1) + row_vals       # [B*K, 2K]
-            cand = cand.reshape(b, k * 2 * k)
-            top_scores, pick = jax.lax.top_k(cand, 2 * k)         # [B, 2K]
-            parent = pick // (2 * k)                              # beam index
-            token = jnp.take_along_axis(row_idx.reshape(b, k * 2 * k), pick, axis=1)
-            token = token.astype(jnp.int32)
-        else:
-            logp = _process_logits(logp, flat_gen, t, dp)
-            v = logp.shape[-1]
-            cand = beam_scores.reshape(b * k, 1) + logp
-            cand = cand.reshape(b, k * v)
-            top_scores, top_idx = jax.lax.top_k(cand, 2 * k)      # [B, 2K]
-            parent = top_idx // v                                  # beam index
-            token = (top_idx % v).astype(jnp.int32)
-
-        is_eos = token == dp.eos_id
-        # --- finished-hypothesis update (normalized by generated length incl. eos)
-        eos_norm = jnp.where(is_eos, top_scores / (t.astype(jnp.float32) + 1.0), -jnp.inf)
-        cand_seqs = jnp.take_along_axis(generated, parent[..., None], axis=1)  # [B,2K,N]
-        eos_col = jnp.broadcast_to(token[..., None], cand_seqs.shape[:2] + (1,))
-        cand_seqs = jax.lax.dynamic_update_slice_in_dim(
-            cand_seqs, eos_col, t, axis=2
-        )
-        all_scores = jnp.concatenate([fin_scores, eos_norm], axis=1)          # [B, 3K]
-        all_seqs = jnp.concatenate([fin_seqs, cand_seqs], axis=1)             # [B, 3K, N]
-        new_fin_scores, fin_pick = jax.lax.top_k(all_scores, k)
-        new_fin_seqs = jnp.take_along_axis(all_seqs, fin_pick[..., None], axis=1)
-
-        # --- continuing beams: best K non-eos among the 2K
-        cont_rank = top_scores + jnp.where(is_eos, neg_inf * 2, 0.0)
-        _, cont_pick = jax.lax.top_k(cont_rank, k)                             # [B, K]
-        new_scores = jnp.take_along_axis(top_scores, cont_pick, axis=1)
-        new_parent = jnp.take_along_axis(parent, cont_pick, axis=1)           # [B, K]
-        new_token = jnp.take_along_axis(token, cont_pick, axis=1)
-
-        new_gen = jnp.take_along_axis(generated, new_parent[..., None], axis=1)
-        new_gen = jax.lax.dynamic_update_slice_in_dim(
-            new_gen, new_token[..., None], t, axis=2
-        )
-
-        # beam reorder = permute the tiny ancestry index, NOT the cache
-        flat_parent = (new_parent + jnp.arange(b)[:, None] * k).reshape(-1)
+        new_token, flat_parent, new_scores, new_gen, new_fin_scores, new_fin_seqs = \
+            beam_select(last_logits, beam_scores, generated, fin_scores, fin_seqs, t, dp, k)
         anc = anc[flat_parent]
         anc = anc.at[:, t].set(jnp.arange(r, dtype=jnp.int32))
 
@@ -322,13 +380,7 @@ def beam_search(
     else:
         carry, _ = jax.lax.scan(step, carry, jnp.arange(n, dtype=jnp.int32))
     _, _, _, beam_scores, generated, fin_scores, fin_seqs = carry
-
-    # merge running (unfinished) beams, normalized by full length (HF finalize)
-    run_norm = beam_scores / float(n)
-    all_scores = jnp.concatenate([fin_scores, run_norm], axis=1)
-    all_seqs = jnp.concatenate([fin_seqs, generated], axis=1)
-    best = jnp.argmax(all_scores, axis=1)
-    return jnp.take_along_axis(all_seqs, best[:, None, None], axis=1)[:, 0, :]
+    return beam_finalize(beam_scores, generated, fin_scores, fin_seqs, n)
 
 
 @partial(jax.jit, static_argnames=("gpt2_cfg", "dp"))

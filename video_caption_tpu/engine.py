@@ -397,20 +397,36 @@ class InferenceEngine:
                 mask_arr[row, max_len - len(ids):] = 1
             group_list.append((dp, tuple(idxs), ids_arr, mask_arr))
         model_cfg = self.model_cfg
+        use_unified = self._unified_eligible(group_list)
 
         from video_caption_tpu.decode import generate as gen
+        from video_caption_tpu.decode.unified import generate_unified
 
         @jax.jit
         def program(params, video, rng):
             prefix = cm.video_to_prefix(params, video, model_cfg)     # [V,P,H]
             v = prefix.shape[0]
+            keys = []
+            for _ in group_list:
+                rng, sub = jax.random.split(rng)
+                keys.append(sub)
+            if use_unified:
+                # one program, one per-step weight stream for EVERY group
+                prompts = tuple(
+                    (jnp.asarray(ids_arr), jnp.asarray(mask_arr))
+                    for _, _, ids_arr, mask_arr in group_list
+                )
+                dps = tuple(dp for dp, *_ in group_list)
+                return generate_unified(
+                    params["decoder"], model_cfg.gpt2, prefix, prompts, dps,
+                    tuple(keys),
+                )
             outs = []
-            for dp, idxs, ids_arr, mask_arr in group_list:
+            for (dp, idxs, ids_arr, mask_arr), sub in zip(group_list, keys):
                 rows = len(idxs)
                 prefix_rows = jnp.repeat(prefix, rows, axis=0)
                 ids = jnp.asarray(np.tile(ids_arr, (v, 1)))
                 mask = jnp.asarray(np.tile(mask_arr, (v, 1)))
-                rng, sub = jax.random.split(rng)
                 outs.append(gen.generate_prefixed(
                     params["decoder"], model_cfg.gpt2, prefix_rows, ids, mask, dp, sub,
                 ))
@@ -418,6 +434,18 @@ class InferenceEngine:
 
         self._fused_program = (program, group_list, len(pairs))
         return self._fused_program
+
+    def _unified_eligible(self, group_list) -> bool:
+        """The unified mixed-policy program replaces per-group programs when
+        there are >= 2 policy groups and no incompatible experimental mode
+        (the fused decode-layer kernel commits a different cache layout;
+        early_stop commits a while_loop per group)."""
+        return (
+            self.config.compile.unified_decode
+            and len(group_list) > 1
+            and not self.model_cfg.gpt2.use_pallas_decode_layer
+            and not any(dp.early_stop for dp, *_ in group_list)
+        )
 
     def _dispatch_videos(self, video: jax.Array):
         """Enqueue every device program for ``video`` WITHOUT materializing
@@ -437,6 +465,26 @@ class InferenceEngine:
         )
         if use_fused:
             outs = program(self.params, video, sub)
+        elif self._unified_eligible(group_list):
+            # prefix as its own async dispatch (pipelines with host work),
+            # then ONE unified program decodes every policy group — the
+            # per-step GPT-2 weight stream is shared across groups
+            from video_caption_tpu.decode.unified import generate_unified
+
+            prefix = self._prefix_fn(self.params, video)
+            keys = []
+            for _ in group_list:
+                sub, key = jax.random.split(sub)
+                keys.append(key)
+            prompts = tuple(
+                (jnp.asarray(ids_arr), jnp.asarray(mask_arr))
+                for _, _, ids_arr, mask_arr in group_list
+            )
+            dps = tuple(dp for dp, *_ in group_list)
+            outs = generate_unified(
+                self.params["decoder"], self.model_cfg.gpt2, prefix, prompts,
+                dps, tuple(keys),
+            )
         else:
             prefix = self._prefix_fn(self.params, video)
             v = video.shape[0]

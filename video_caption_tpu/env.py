@@ -52,36 +52,20 @@ def assert_frontend_runtime_ready() -> None:
 _CACHE_ENABLED = False
 
 
-def _host_cpu_fingerprint() -> str:
-    """Short digest of the host CPU's ISA features. XLA:CPU AOT-compiled
-    executables embed machine features (AVX512 etc.); a persistent cache
-    shared across heterogeneous hosts can hand a binary to a host that lacks
-    its features ("Compile machine features ... vs host machine features ...
-    SIGILL" warnings). Keying the cache dir by this digest makes each host
-    family its own cache."""
-    import hashlib
-    import platform
-
-    feats = platform.machine()
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("flags", "Features")):
-                    feats += " " + " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
-    except OSError:  # pragma: no cover - non-Linux host
-        feats += " " + platform.processor()
-    return hashlib.sha1(feats.encode()).hexdigest()[:12]
-
-
 def enable_compilation_cache(path: str = "") -> None:
     """Persistent XLA compilation cache: compiled executables survive process
     restarts, so a restarted server skips the multi-minute cold compile.
     This is the XLA analog of the reference's reserved TensorRT engine files
     (core/trt/build_engine.py).
 
-    CPU-backend executables are keyed by host CPU features (the TPU cache is
-    shared — device kind is already part of XLA's own cache key)."""
+    CPU backends are excluded: XLA:CPU AOT entries embed compile-time tuning
+    features (e.g. ``+prefer-no-gather``) that the loader's host-feature
+    check does not report, so ANY cross-process CPU cache load emits a
+    "Compile machine features ... vs host machine features ... SIGILL"
+    error — and a cache dir genuinely shared across heterogeneous hosts
+    risks real SIGILLs. CPU is the test/dryrun backend here with
+    fast-compiling tiny geometries; the cache's payoff (the multi-minute
+    production compile) is TPU-only."""
     global _CACHE_ENABLED
     if _CACHE_ENABLED:
         return
@@ -92,7 +76,8 @@ def enable_compilation_cache(path: str = "") -> None:
     )
     try:
         if jax.default_backend() == "cpu":
-            path = os.path.join(path, f"cpu-{_host_cpu_fingerprint()}")
+            _CACHE_ENABLED = True   # decided for this process; don't re-probe
+            return
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

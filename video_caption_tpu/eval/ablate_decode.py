@@ -30,6 +30,7 @@ DEFAULT_GRID = {
 def ablate(
     ann_path: str, out_csv: str, ckpt: str = "", limit: int = 16,
     num_frames: int = 8, grid: Dict[str, Sequence] = None,
+    image_size: int = 224,
 ) -> List[Dict]:
     import jax.numpy as jnp
 
@@ -39,7 +40,7 @@ def ablate(
     from video_caption_tpu.preprocessing.frame_loader import list_frames, load_video_array
 
     grid = grid or DEFAULT_GRID
-    overrides = {"num_frames": num_frames}
+    overrides = {"num_frames": num_frames, "image_size": image_size}
     if ckpt:
         overrides["ckpt"] = ckpt
     engine = InferenceEngine(default_inference_config(**overrides))

@@ -25,7 +25,7 @@ SHARED_DECODE = dict(
 
 def caption_split(
     ann_path: str, ckpt: str, limit: int = 0, num_frames: int = 8,
-    decode_kwargs: Optional[Dict] = None, engine=None,
+    decode_kwargs: Optional[Dict] = None, engine=None, image_size: int = 224,
 ) -> List[Dict]:
     """Greedy per-record captioning of one model config; returns
     [{"video_id", "hyp", "refs"}]."""
@@ -35,7 +35,7 @@ def caption_split(
 
     decode_kwargs = dict(decode_kwargs or SHARED_DECODE)
     if engine is None:
-        overrides = {"num_frames": num_frames}
+        overrides = {"num_frames": num_frames, "image_size": image_size}
         if ckpt:
             overrides["ckpt"] = ckpt
         engine = InferenceEngine(default_inference_config(**overrides))
@@ -63,7 +63,7 @@ def caption_split(
 
 def compare(
     ann_path: str, ckpt_a: str, ckpt_b: str, out_dir: str,
-    limit: int = 0, num_frames: int = 8,
+    limit: int = 0, num_frames: int = 8, image_size: int = 224,
 ) -> Dict:
     from video_caption_tpu.eval.bleu import corpus_bleu, sentence_bleu1
 
@@ -71,7 +71,8 @@ def compare(
     out.mkdir(parents=True, exist_ok=True)
     sides = {}
     for tag, ckpt in (("A", ckpt_a), ("B", ckpt_b)):
-        rows = caption_split(ann_path, ckpt, limit, num_frames)
+        rows = caption_split(ann_path, ckpt, limit, num_frames,
+                             image_size=image_size)
         sides[tag] = rows
         log.info("side %s: %d captions", tag, len(rows))
 
@@ -107,9 +108,10 @@ def main(argv=None) -> int:
     p.add_argument("--out_dir", default="outputs/eval_compare")
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--num_frames", type=int, default=8)
+    p.add_argument("--image_size", type=int, default=224)
     args = p.parse_args(argv)
     summary = compare(args.ann_path, args.ckpt_a, args.ckpt_b, args.out_dir,
-                      args.limit, args.num_frames)
+                      args.limit, args.num_frames, args.image_size)
     print(json.dumps(summary, indent=1))
     return 0
 

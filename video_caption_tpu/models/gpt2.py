@@ -309,6 +309,62 @@ def gpt2_forward(
     return logits, {"kv": new_kv}
 
 
+def ancestry_mask(anc: jax.Array, b: int, k_beams: int, t: jax.Array) -> jax.Array:
+    """Ancestry one-hot for the dense beam attention: sel[b, kq, 1, kv, j] =
+    "video b's query beam kq has its step-j ancestor K/V in physical row
+    b*K + kv (and j <= t)". Layer-independent — computed once per step.
+    ``anc`` holds flat row indices LOCAL to this group of b*k rows."""
+    n = anc.shape[1]
+    anc_b = anc.reshape(b, k_beams, n)
+    row_of = (jnp.arange(b, dtype=anc.dtype) * k_beams)[:, None, None, None] + \
+        jnp.arange(k_beams, dtype=anc.dtype)[None, None, :, None]       # [B,1,Kv,1]
+    sel = (anc_b[:, :, None, :] == row_of) & \
+        (jnp.arange(n, dtype=jnp.int32)[None, None, None, :] <= t)      # [B,Kq,Kv,N]
+    return sel[:, :, None, :, :]                                        # [B,Kq,1,Kv,N]
+
+
+def _beam_attend(
+    q: jax.Array,               # [R, nh, hd] — this group's query rows (R = B*K)
+    pkv_layer: jax.Array,       # [B, S0, 2, nh, hd] — one layer's prefill K|V
+    gkv_layer: jax.Array,       # [R, N, 2, nh, hd] — one layer's gen K|V
+    prefill_valid: jax.Array,   # [B, S0]
+    sel: jax.Array,             # [B,Kq,1,Kv,N] ancestry mask (ancestry_mask)
+    k_beams: int,
+    cfg: GPT2Config,
+) -> jax.Array:
+    """Split-cache attention of one beam group: prefill part shared per video,
+    generated part dense over the video's K physical rows with the ancestry
+    one-hot masking non-ancestors to -inf (gpt2_beam_step docstring).
+    Returns the pre-projection attention output [R, H]."""
+    dt = cfg.dtype
+    r = q.shape[0]
+    b, s0 = prefill_valid.shape
+    n = gkv_layer.shape[1]
+    scale = cfg.head_dim ** -0.5
+
+    qb = q.reshape(b, k_beams, cfg.n_head, cfg.head_dim)
+    lp_ = jnp.einsum("bkhd,bshd->bkhs", qb, pkv_layer[:, :, 0].astype(dt),
+                     preferred_element_type=jnp.float32) * scale        # [B,K,nh,S0]
+    lp_ = jnp.where(prefill_valid[:, None, None, :] > 0, lp_, jnp.float32(-1e30))
+    lp_ = lp_.reshape(r, cfg.n_head, s0)
+
+    gkb = gkv_layer[:, :, 0].reshape(b, k_beams, n, cfg.n_head, cfg.head_dim)
+    gvb = gkv_layer[:, :, 1].reshape(b, k_beams, n, cfg.n_head, cfg.head_dim)
+    lg = jnp.einsum("bqhd,bknhd->bqhkn", qb, gkb.astype(dt),
+                    preferred_element_type=jnp.float32) * scale         # [B,Kq,nh,Kv,N]
+    lg = jnp.where(sel, lg, jnp.float32(-1e30))
+    lg = lg.reshape(r, cfg.n_head, k_beams * n)
+
+    attn = jax.nn.softmax(jnp.concatenate([lp_, lg], axis=-1), axis=-1).astype(dt)
+    ap, ag = attn[..., :s0], attn[..., s0:]
+    out_p = jnp.einsum("bkhs,bshd->bkhd", ap.reshape(b, k_beams, cfg.n_head, s0),
+                       pkv_layer[:, :, 1].astype(dt)).reshape(r, cfg.n_head, cfg.head_dim)
+    out_g = jnp.einsum("bqhkn,bknhd->bqhd",
+                       ag.reshape(b, k_beams, cfg.n_head, k_beams, n),
+                       gvb.astype(dt)).reshape(r, cfg.n_head, cfg.head_dim)
+    return (out_p + out_g).reshape(r, cfg.n_embd)
+
+
 def gpt2_beam_step(
     params: Params,
     token_embeds: jax.Array,    # [R, H] — one new token per beam row (R = B*K)
@@ -352,20 +408,10 @@ def gpt2_beam_step(
     r, h = token_embeds.shape
     b = prefill_valid.shape[0]
     k_beams = num_beams
-    n = gen_cache["kv"].shape[2]
-    s0 = prefill_cache["kv"].shape[2]
     x = token_embeds.astype(dt) + params["wpe"][positions].astype(dt)   # [R, H]
 
-    scale = cfg.head_dim ** -0.5
-    # ancestry one-hot: sel[b, kq, kv, j] = "video b's query beam kq has its
-    # step-j ancestor K/V in physical row b*K + kv (and j <= t)". Computed
-    # ONCE per step — it is layer-independent.
-    anc_b = anc.reshape(b, k_beams, n)
-    row_of = (jnp.arange(b, dtype=anc.dtype) * k_beams)[:, None, None, None] + \
-        jnp.arange(k_beams, dtype=anc.dtype)[None, None, :, None]       # [B,1,Kv,1]
-    sel = (anc_b[:, :, None, :] == row_of) & \
-        (jnp.arange(n, dtype=jnp.int32)[None, None, None, :] <= t)      # [B,Kq,Kv,N]
-    sel = sel[:, :, None, :, :]                                         # [B,Kq,1,Kv,N]
+    # ancestry one-hot, computed ONCE per step — it is layer-independent
+    sel = ancestry_mask(anc, b, k_beams, t)
 
     # PYTHON-UNROLLED layer loop (same rationale as gpt2_forward's decode
     # branch): the layer-scan form re-stacked the [L,R,N,H] gen caches every
@@ -387,32 +433,88 @@ def gpt2_beam_step(
             gkv_all, qkv[:, 1:3].astype(gkv_all.dtype)[None, :, None],
             (layer, 0, t, 0, 0, 0))
 
-        # prefill attention: beams of one video share the same prefill K/V
-        qb = q.reshape(b, k_beams, cfg.n_head, cfg.head_dim)
-        lp_ = jnp.einsum("bkhd,bshd->bkhs", qb, pkv_all[layer, :, :, 0].astype(dt),
-                         preferred_element_type=jnp.float32) * scale    # [B,K,nh,S0]
-        lp_ = jnp.where(prefill_valid[:, None, None, :] > 0, lp_, jnp.float32(-1e30))
-        lp_ = lp_.reshape(r, cfg.n_head, s0)
+        out = _beam_attend(q, pkv_all[layer], gkv_all[layer],
+                           prefill_valid, sel, k_beams, cfg)
+        out = out @ block_weight(blk, "proj_w", dt) + blk["proj_b"].astype(dt)
+        x = x + out
 
-        # generated attention: DENSE over the video's K physical rows, with
-        # the ancestry one-hot masking non-ancestor columns to -inf (their
-        # post-softmax weight is exactly 0.0, so this equals the gathered
-        # formulation without materializing [R,N,nh,hd] K/V copies)
-        gkb = gkv_all[layer, :, :, 0].reshape(b, k_beams, n, cfg.n_head, cfg.head_dim)
-        gvb = gkv_all[layer, :, :, 1].reshape(b, k_beams, n, cfg.n_head, cfg.head_dim)
-        lg = jnp.einsum("bqhd,bknhd->bqhkn", qb, gkb.astype(dt),
-                        preferred_element_type=jnp.float32) * scale     # [B,Kq,nh,Kv,N]
-        lg = jnp.where(sel, lg, jnp.float32(-1e30))
-        lg = lg.reshape(r, cfg.n_head, k_beams * n)
+        m_in = _layer_norm(x, blk["ln2_scale"], blk["ln2_bias"], cfg.ln_eps)
+        m = m_in @ block_weight(blk, "fc_w", dt) + blk["fc_b"].astype(dt)
+        m = jax.nn.gelu(m.astype(jnp.float32), approximate=True).astype(dt)
+        m = m @ block_weight(blk, "out_w", dt) + blk["out_b"].astype(dt)
+        x = x + m
+    x = _layer_norm(x, params["lnf_scale"], params["lnf_bias"], cfg.ln_eps)
+    logits = jnp.einsum(
+        "rh,vh->rv", x, params["wte"].astype(dt), preferred_element_type=jnp.float32
+    )
+    return logits, {"kv": gkv_all}
 
-        attn = jax.nn.softmax(jnp.concatenate([lp_, lg], axis=-1), axis=-1).astype(dt)
-        ap, ag = attn[..., :s0], attn[..., s0:]
-        out_p = jnp.einsum("bkhs,bshd->bkhd", ap.reshape(b, k_beams, cfg.n_head, s0),
-                           pkv_all[layer, :, :, 1].astype(dt)).reshape(r, cfg.n_head, cfg.head_dim)
-        out_g = jnp.einsum("bqhkn,bknhd->bqhd",
-                           ag.reshape(b, k_beams, cfg.n_head, k_beams, n),
-                           gvb.astype(dt)).reshape(r, cfg.n_head, cfg.head_dim)
-        out = (out_p + out_g).reshape(r, h)
+
+def gpt2_mixed_step(
+    params: Params,
+    token_embeds: jax.Array,    # [R, H] — one new token per row, ALL groups
+    positions: jax.Array,       # [R] int32 — absolute position ids
+    prefill_cache: Cache,       # {kv: [L, I, S0, 2, nh, hd]} — one row per instance
+    prefill_valid: jax.Array,   # [I, S0] int32 — left-pad mask per instance
+    gen_cache: Cache,           # {kv: [L, R, N, 2, nh, hd]} — append-only
+    anc: jax.Array,             # [R, N] int32 — GROUP-LOCAL ancestor row per column
+    t: jax.Array,               # scalar int32 — current decode step
+    group_shapes: Tuple[Tuple[int, int], ...],  # static: (n_instances, k_beams) per group
+    cfg: GPT2Config,
+) -> Tuple[jax.Array, Cache]:
+    """One decode step for a MIXED-policy row set (SURVEY §7 hard part 6).
+
+    The unified decode (decode/unified.py) lays rows out group-contiguously:
+    group g owns instances [i_off, i_off+I_g) of the prefill cache and rows
+    [r_off, r_off+I_g*K_g) of the gen cache, where K_g = its beam width
+    (1 for greedy/sampled rows). This step runs every WEIGHT matmul — qkv,
+    attention out-projection, both MLP layers, the LM head — over the FULL
+    row set, so the bandwidth-bound weight streaming is paid once for all
+    policies; only the (weight-free) attention einsums run per group, each a
+    static slice using the same split-cache ancestry attention as
+    gpt2_beam_step (a sampled row is a K=1 beam with identity ancestry).
+
+    The reference instead runs its presets as 3 sequential full decodes
+    (core/engine.py:75-79), re-reading the decoder weights each time.
+
+    Returns (logits [R, V] fp32, new gen_cache).
+    """
+    dt = cfg.dtype
+    from video_caption_tpu.models.quantize import block_weight
+
+    r, h = token_embeds.shape
+    x = token_embeds.astype(dt) + params["wpe"][positions].astype(dt)   # [R, H]
+
+    # per-group ancestry one-hots (layer-independent)
+    sels, offs = [], []
+    i_off = r_off = 0
+    for n_inst, k_beams in group_shapes:
+        rg = n_inst * k_beams
+        sels.append(ancestry_mask(anc[r_off:r_off + rg], n_inst, k_beams, t))
+        offs.append((i_off, n_inst, r_off, rg, k_beams))
+        i_off += n_inst
+        r_off += rg
+
+    gkv_all = gen_cache["kv"]                           # [L,R,N,2,nh,hd]
+    pkv_all = prefill_cache["kv"]                       # [L,I,S0,2,nh,hd]
+    for layer in range(cfg.n_layer):
+        blk = jax.tree.map(lambda a, _l=layer: a[_l], params["blocks"])
+        a_in = _layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
+        qkv = a_in @ block_weight(blk, "attn_w", dt) + blk["attn_b"].astype(dt)
+        qkv = qkv.reshape(r, 3, cfg.n_head, cfg.head_dim)
+        q = qkv[:, 0]                                                   # [R, nh, hd]
+
+        # ONE interleaved K|V write for ALL rows (they all write column t)
+        gkv_all = jax.lax.dynamic_update_slice(
+            gkv_all, qkv[:, 1:3].astype(gkv_all.dtype)[None, :, None],
+            (layer, 0, t, 0, 0, 0))
+
+        outs = []
+        for sel, (io, ni, ro, rg, kb) in zip(sels, offs):
+            outs.append(_beam_attend(
+                q[ro:ro + rg], pkv_all[layer, io:io + ni], gkv_all[layer, ro:ro + rg],
+                prefill_valid[io:io + ni], sel, kb, cfg))
+        out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
         out = out @ block_weight(blk, "proj_w", dt) + blk["proj_b"].astype(dt)
         x = x + out
 
