@@ -230,3 +230,89 @@ def test_generate_candidate_vs_scatter_paths_identical(tiny_params, tiny_cfg):
             gen_mod._candidate_path_ok = orig
             jax.clear_caches()
         np.testing.assert_array_equal(fast, slow)
+
+
+class TestExactTopK:
+    """exact_topk must return the exact top-k values AND indices of
+    lax.top_k for every realistic input (ties among finite values may
+    reorder — documented; all--inf tails are value-equivalent)."""
+
+    def _check(self, scores, k, strict_idx=True):
+        import jax
+        import jax.numpy as jnp
+
+        from video_caption_tpu.decode import logits_process as lp
+
+        got_v, got_i = lp.exact_topk(jnp.asarray(scores), k)
+        ref_v, ref_i = jax.lax.top_k(jnp.asarray(scores), k)
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+        if strict_idx:
+            np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+        else:
+            # indices must still point at the claimed values
+            rows = np.arange(scores.shape[0])[:, None]
+            np.testing.assert_array_equal(
+                np.asarray(scores)[rows, np.asarray(got_i)], np.asarray(got_v))
+
+    def test_random_large_vocab(self):
+        rng = np.random.RandomState(0)
+        s = rng.randn(7, 50257).astype(np.float32)
+        for k in (1, 6, 31, 75):
+            self._check(s, k)
+
+    def test_adjacent_window_values(self):
+        # top values packed into one window — the single-window case the
+        # window-gather must still cover exactly
+        s = np.full((3, 50257), -5.0, np.float32)
+        s[:, 100:131] = np.linspace(10, 9, 31, dtype=np.float32)
+        self._check(s, 31)
+
+    def test_values_spread_across_windows(self):
+        s = np.full((2, 50257), -5.0, np.float32)
+        cols = np.arange(0, 31 * 977, 977)   # one top value per distant window
+        s[:, cols] = np.linspace(10, 9, 31, dtype=np.float32)
+        self._check(s, 31)
+
+    def test_neg_inf_rows(self):
+        s = np.full((2, 1000), -np.inf, np.float32)
+        s[0, 5] = 1.0
+        self._check(s, 4, strict_idx=False)   # -inf tail: indices may differ
+
+    def test_k_ge_vocab(self):
+        # k >= vocab degenerates to a full sort of the vocab
+        import jax
+        import jax.numpy as jnp
+
+        from video_caption_tpu.decode import logits_process as lp
+
+        rng = np.random.RandomState(1)
+        s = rng.randn(3, 40).astype(np.float32)
+        got_v, got_i = lp.exact_topk(jnp.asarray(s), 64)
+        ref_v, ref_i = jax.lax.top_k(jnp.asarray(s), 40)
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+
+    def test_duplicate_values_within_window(self):
+        s = np.full((2, 4096), 0.0, np.float32)
+        s[:, 10] = 3.0
+        s[:, 11] = 3.0   # duplicate inside one window: index order preserved
+        s[:, 70] = 2.0
+        self._check(s, 3)
+
+    def test_tail_window_overlap_duplicates(self):
+        # large values packed into the clamped-gather overlap zone: the
+        # tail window's duplicate view of the last full window must not
+        # count a value twice (exactness guard for the tail handling)
+        v = 50257   # 64-window tail of 17 ids
+        s = np.full((2, v), -5.0, np.float32)
+        s[:, v - 31: v] = np.linspace(10, 9, 31, dtype=np.float32)
+        self._check(s, 31)
+        # duplicates straddling the overlap must not displace value #31
+        s3 = np.full((2, v), -5.0, np.float32)
+        s3[:, v - 40: v] = np.linspace(10, 9.2, 40, dtype=np.float32)
+        s3[:, 7] = 9.1   # the true 31st-or-so value lives far away
+        self._check(s3, 41)
+        s2 = np.full((2, v), -5.0, np.float32)
+        s2[:, v - 17:] = 8.0          # tail ids tie
+        s2[:, v - 40: v - 17] = 9.0   # overlap-zone values higher
+        self._check(s2, 10, strict_idx=False)

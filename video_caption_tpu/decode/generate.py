@@ -92,7 +92,9 @@ def _prefill(
     attention and position ids count only real tokens. Returns
     (last-token logits, cache, valid, row_lengths)."""
     b, s0, _ = inputs_embeds.shape
-    cache = g2.init_cache(gpt2_cfg, b, max_len, layout=cache_layout)
+    split = cache_layout == "split"
+    cache = g2.init_cache(gpt2_cfg, b, max_len,
+                          layout="stacked" if split else cache_layout)
     if prefill_mask is None:
         mask = jnp.ones((b, s0), jnp.int32)
     else:
@@ -103,6 +105,12 @@ def _prefill(
     logits, cache = g2.gpt2_forward(
         gpt2_params, inputs_embeds, positions, valid, cache, jnp.int32(0), gpt2_cfg
     )
+    if split:
+        # repack ONCE into contiguous per-tensor K/V: the beam/unified step
+        # reads this cache every token, and reading the interleaved buffer
+        # forced a layout-transposing copy of the whole cache per step
+        kv = cache["kv"]                    # [L,B,S0,2,nh,hd]
+        cache = {"k": kv[:, :, :, 0], "v": kv[:, :, :, 1]}
     row_lengths = jnp.sum(mask, axis=1).astype(jnp.int32)
     return logits[:, -1, :], cache, valid, row_lengths
 
@@ -234,13 +242,21 @@ def beam_select(
     flat_gen = generated.reshape(b * k, n)
     # HF beam semantics: processors run on LOG-SOFTMAX scores (greedy runs
     # them on raw logits) — order matters for repetition penalty.
-    logp = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)  # [B*K, V]
     if _candidate_path_ok(dp):
         # candidate-set path: per-row exact top-2K of the processed
         # scores from the raw top-(2K+bound) (lp.topk_processed), then
         # the cross-beam top-2K runs over [B, K*2K] instead of [B, K*V]
-        # — deletes the [R,V] scatter passes AND shrinks the big sort
-        row_vals, row_idx = _topk_processed(logp, flat_gen, t, 2 * k, dp)
+        # — deletes the [R,V] scatter passes AND shrinks the big sort.
+        # Ranking runs on RAW logits; only the candidates are converted to
+        # log-softmax values (bit-identical — topk_processed docstring).
+        lx = last_logits.astype(jnp.float32)
+        m = jnp.max(lx, axis=-1)
+        ls = jnp.log(jnp.sum(jnp.exp(lx - m[:, None]), axis=-1))
+        row_vals, row_idx = lp.topk_processed(
+            lx, flat_gen, t, 2 * k,
+            dp.repetition_penalty, dp.no_repeat_ngram_size, dp.min_new_tokens,
+            dp.eos_id, shift_max=m, shift_logsum=ls,
+        )
         cand = beam_scores.reshape(b * k, 1) + row_vals       # [B*K, 2K]
         cand = cand.reshape(b, k * 2 * k)
         top_scores, pick = jax.lax.top_k(cand, 2 * k)         # [B, 2K]
@@ -248,6 +264,7 @@ def beam_select(
         token = jnp.take_along_axis(row_idx.reshape(b, k * 2 * k), pick, axis=1)
         token = token.astype(jnp.int32)
     else:
+        logp = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)
         logp = _process_logits(logp, flat_gen, t, dp)
         v = logp.shape[-1]
         cand = beam_scores.reshape(b * k, 1) + logp
@@ -322,15 +339,15 @@ def beam_search(
     # prefill ONCE per video at B rows; beams share it read-only (the split
     # cache: g2.gpt2_beam_step docstring explains why this replaces the
     # classic gather-the-cache-by-parent step). Beam search always uses the
-    # stacked cache layout (gpt2_beam_step's dense-masked attention).
+    # split K/V layouts (gpt2_beam_step's dense-masked attention).
     last_logits, prefill_cache, prefill_valid, row_len = _prefill(
         gpt2_params, gpt2_cfg, inputs_embeds, s0, prefill_mask,
-        cache_layout="stacked",
+        cache_layout="split",
     )
     last_logits = jnp.repeat(last_logits, k, axis=0)    # [R, V]
     row_len_flat = jnp.repeat(row_len, k, axis=0)       # [R]
 
-    gen_cache = g2.init_cache(gpt2_cfg, r, n, layout="stacked")  # {kv: [L,R,N,2,nh,hd]}
+    gen_cache = g2.init_cache(gpt2_cfg, r, n, layout="beam_gen")  # {k,v: [L,N,R,nh,hd]}
     anc = jnp.zeros((r, n), jnp.int32)                  # ancestry: col j's writer row
 
     beam_scores = jnp.tile(jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), neg_inf)]), (b, 1))

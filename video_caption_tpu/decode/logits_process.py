@@ -88,6 +88,59 @@ def apply_no_repeat_ngram(
     return logits.at[rows, ban_idx].set(jnp.float32(-jnp.inf), mode="drop")
 
 
+def exact_topk(scores: jax.Array, k: int, window: int = 0):
+    """Exact top-k over the vocab axis via a two-stage windowed reduction:
+    per-window max -> top-k windows -> top-k within the gathered window
+    contents. Returns (vals [B,k], idxs [B,k]) descending.
+
+    Exactness: if value v is in the true top-k, fewer than k windows have a
+    max exceeding v (each such window would contribute an element above v),
+    so v's window is always among the top-k window maxima. The full [B,V]
+    buffer is read ONCE (a VPU max reduce that fuses into its producer);
+    everything after runs on [B, k·window]-sized data. Replaces
+    ``lax.approx_max_k(recall_target=1.0)``, whose PartialReduce custom call
+    measured 2.2 ms/step at [384, 50257] inside the decode loop on v5e —
+    ~20x off its read-bandwidth roofline — vs ~0.3 ms for this path.
+
+    Tie-break: equal values resolve by (window max-rank, in-window position)
+    rather than lax.top_k's global ascending index; observable only when the
+    same f32 value straddles the k-th place across different windows — for
+    continuous logits that is the all--inf tail case, where every returned
+    score is identically -inf anyway (candidate sets differing only among
+    -inf entries select nothing downstream: processors and samplers see
+    -inf). ``lax.top_k`` is used unchanged for the small final sorts.
+    """
+    b, v = scores.shape
+    if k >= v:
+        return jax.lax.top_k(scores, v)
+    if window <= 0:
+        # the final [B, k*window] top_k dominates for large k: wider windows
+        # shrink the window-max sort, v5e-measured crossover near k ~ 50
+        window = 128 if k >= 50 else 64
+    nwin = -(-v // window)
+    pad = nwin * window - v
+    if pad:
+        scores_p = jnp.pad(scores, ((0, 0), (0, pad)),
+                           constant_values=jnp.float32(-jnp.inf))
+    else:
+        scores_p = scores
+    # NOTE on lowering (v5e hlo_stats traces): the [B,nwin,w] reduce makes
+    # XLA re-layout the [B,V] buffer column-major (~0.4 ms/step at
+    # [576,50257]) — still the fastest known formulation. A strided-slice
+    # maximum chain triggers the same transpose, and gathering candidates
+    # elementwise (take_along_axis with [B,k*w] indices) lowers to a
+    # ~7 ms/step gather custom call; the BLOCK gather below (whole windows
+    # along axis 1) is the fast path.
+    sw = scores_p.reshape(b, nwin, window)
+    wmax = jnp.max(sw, axis=-1)                              # [B, nwin]
+    kw = min(k, nwin)
+    _, widx = jax.lax.top_k(wmax, kw)                        # [B, kw]
+    cand = jnp.take_along_axis(sw, widx[:, :, None], axis=1)  # [B, kw, w]
+    vals, ci = jax.lax.top_k(cand.reshape(b, kw * window), k)
+    idxs = jnp.take_along_axis(widx, ci // window, axis=1) * window + ci % window
+    return vals, idxs
+
+
 def topk_processed(
     scores: jax.Array,      # [B, V] raw logits or log-probs
     generated: jax.Array,   # [B, N] int32
@@ -97,6 +150,8 @@ def topk_processed(
     ngram_size: int,
     min_new_tokens: int,
     eos_id: int,
+    shift_max: jax.Array = None,      # [B] optional log-softmax conversion:
+    shift_logsum: jax.Array = None,   # vals := (vals - max) - logsum
 ):
     """Top-k of the processor-chain-modified scores WITHOUT materializing or
     scattering into [B, V]: returns (vals [B, k], idxs [B, k]) sorted by
@@ -132,12 +187,21 @@ def topk_processed(
     # N + (N-ngram+1) + 1
     bound = n_buf + 1
     c = min(k + bound, v)
-    # exact top-C via the TPU PartialReduce custom call (recall_target=1.0):
-    # inside a decode loop XLA fuses lax.top_k's sort into a slow loop fusion
-    # (measured 1.9 ms/step at [192, 50257] vs ~0.2 ms for this path);
-    # index-exact vs lax.top_k incl. tie order (verified on-chip, ties and
-    # -inf rows). On CPU backends it lowers to the exact fallback.
-    vals, idxs = jax.lax.approx_max_k(scores, c, recall_target=1.0)  # [B,C] desc
+    # exact top-C via the two-stage windowed reduction (exact_topk): one
+    # fused read of [B,V] + small sorts. Both in-loop alternatives measured
+    # far slower on v5e: lax.top_k's sort becomes a slow loop fusion
+    # (1.9 ms/step at [192, 50257]) and approx_max_k(recall=1.0)'s
+    # PartialReduce custom call runs ~20x off roofline (2.2 ms/step at
+    # [384, 50257]).
+    vals, idxs = exact_topk(scores, c)                       # [B,C] desc
+    if shift_max is not None:
+        # beam path: rank on RAW logits (log-softmax is monotone per row, so
+        # candidate CONTAINMENT and order are unchanged), then convert only
+        # the C candidate values — ((x - max) - logsum) in exactly
+        # jax.nn.log_softmax's association, so the values are bit-identical
+        # to extracting from a materialized [B,V] log-softmax. Skips two
+        # full-vocab passes + a layout-transposing copy per decode step.
+        vals = (vals - shift_max[:, None]) - shift_logsum[:, None]
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (b, n_buf), 1)
     gen_seen = pos < t                                       # [B, N]
@@ -235,7 +299,7 @@ def sample_top_k_top_p(
     """
     v = logits.shape[-1]
     k = min(top_k if top_k > 0 else v, v)
-    vals, idxs = jax.lax.top_k(logits, k)                    # [B, k] descending
+    vals, idxs = exact_topk(logits, k)                       # [B, k] descending
     return sample_sorted_top_p(rng, vals, idxs, top_p)
 
 

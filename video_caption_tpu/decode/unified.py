@@ -4,24 +4,25 @@ SURVEY §7 hard part 6. The reference answers "3 presets per request" with
 3 sequential full decodes (core/engine.py:75-79); round 2 of this rebuild
 merged *identical* policies into batched programs, but different policies
 (the beam presets vs the sampled preset) still ran as separate programs —
-each re-streaming the full GPT-2 weights every decode step, on a step that
-is weight-bandwidth/overhead bound.
+each re-streaming the full GPT-2 weights every decode step.
 
-This module decodes ALL policy groups in one compiled program. Per step:
+This module decodes ALL policy groups in one compiled program, laid out
+UNIFORMLY: every prompt instance carries K_max = max(num_beams) decode rows,
+so the transformer step is exactly ``g2.gpt2_beam_step`` over the whole
+instance set — one qkv/proj/MLP/LM-head weight stream and one attention
+einsum chain for every policy at once. Narrower groups pad with dead rows
+(identity ancestry, EOS tokens, never selected); a sampled/greedy row is the
+k=0 live row of its instance block. Token selection runs per group (static
+slices) through the exact single-policy helpers (``beam_select`` /
+``sample_select``), so outputs are identical to the grouped path; groups
+with a shorter ``max_new_tokens`` FREEZE (carry held via ``jnp.where``)
+while the shared scan runs to the longest horizon.
 
-- the token-selection logic runs per group (static row slices) using the
-  exact helpers the single-policy paths use (``beam_select`` /
-  ``sample_select`` from decode/generate.py), so token outputs are
-  identical to the grouped path,
-- the transformer forward runs ONCE over the full mixed row set
-  (``g2.gpt2_mixed_step``): all weight matmuls and the LM head stream the
-  GPT-2 weights a single time for every policy; a sampled row rides the
-  beam machinery as a K=1 beam with identity ancestry,
-- groups with a smaller ``max_new_tokens`` FREEZE once their horizon is
-  reached (their carry is held by ``jnp.where``), which preserves exact
-  per-group semantics while the scan runs to the longest horizon.
-
-Fixed shapes throughout; one ``lax.scan``; no host round-trips.
+Version history (profiled on v5e at bs=64, reports/ hlo_stats trace): a v1
+with per-group attention over row slices of the shared caches lost
+~2.8 ms/step to XLA materializing the `cache[layer, a:b]` slices — row
+uniformity removes every per-group cache slice at the cost of dead-row
+compute in the (cheap) activation matmuls.
 """
 from __future__ import annotations
 
@@ -58,6 +59,7 @@ def generate_unified(
     wte = gpt2_params["wte"]
     l_max = max(int(ids.shape[1]) for ids, _ in prompts)
     n_max = max(dp.max_new_tokens for dp in dps)
+    k_max = max(dp.num_beams for dp in dps)
     s0 = p + l_max
 
     # ---- prefill rows: group-major, video-major within a group ------------
@@ -80,26 +82,35 @@ def generate_unified(
         n_inst.append(v * n_g)
     embeds = jnp.concatenate(emb_rows, axis=0)              # [I_tot, S0, H]
     pmask = jnp.concatenate(mask_rows, axis=0)
+    i_tot = sum(n_inst)
+    r_tot = i_tot * k_max
 
     # ONE prefill for every instance of every group (weights stream once)
     last_inst, prefill_cache, prefill_valid, row_len = _prefill(
-        gpt2_params, gpt2_cfg, embeds, s0, pmask, cache_layout="stacked"
+        gpt2_params, gpt2_cfg, embeds, s0, pmask, cache_layout="split"
     )
 
-    # ---- per-group decode state ------------------------------------------
-    group_shapes = tuple((n_inst[g], dp.num_beams) for g, dp in enumerate(dps))
+    # ---- uniform decode rows: instance i owns rows [i*K_max, (i+1)*K_max);
+    # live rows are the first K_g of the block, the rest are dead padding --
     neg_inf = jnp.float32(-1e9)
-    states, ll_rows, anc_rows, rl_rows = [], [], [], []
-    i_off = r_base = 0
+    states, ll_rows, anc_rows = [], [], []
+    i_off = 0
     for g, dp in enumerate(dps):
         i, k, n = n_inst[g], dp.num_beams, dp.max_new_tokens
-        rg = i * k
         ll = last_inst[i_off:i_off + i]
-        rl = row_len[i_off:i_off + i]
+        # every row of the block (live or dead) gets the instance's prefill
+        # logits — dead rows' selections are never read
+        ll_rows.append(jnp.repeat(ll, k_max, axis=0))
+        block_ids = ((i_off + jnp.arange(i, dtype=jnp.int32))[:, None] * k_max
+                     + jnp.arange(k_max, dtype=jnp.int32)[None, :])  # [I_g, K_max]
         if k > 1:
-            ll_rows.append(jnp.repeat(ll, k, axis=0))
-            rl_rows.append(jnp.repeat(rl, k, axis=0))
-            anc_rows.append(jnp.zeros((rg, n_max), jnp.int32))
+            # live beam rows start with the zeros ancestry of beam_search;
+            # dead rows keep identity ancestry forever
+            anc_g = jnp.where(
+                (jnp.arange(k_max) < k)[None, :, None],
+                jnp.zeros((i, k_max, n_max), jnp.int32),
+                jnp.broadcast_to(block_ids[:, :, None], (i, k_max, n_max)),
+            )
             beam_scores = jnp.tile(jnp.concatenate(
                 [jnp.zeros((1,)), jnp.full((k - 1,), neg_inf)]), (i, 1))
             states.append((
@@ -109,76 +120,81 @@ def generate_unified(
                 jnp.full((i, k, n), dp.eos_id, jnp.int32),
             ))
         else:
-            ll_rows.append(ll)
-            rl_rows.append(rl)
-            # identity ancestry: a sampled/greedy row is its own ancestor at
-            # every column, so the dense attention degenerates to causal
-            # self-attention over the row's own cache
-            anc_rows.append(jnp.broadcast_to(
-                jnp.arange(rg, dtype=jnp.int32)[:, None], (rg, n_max)))
+            # sampled/greedy: the k=0 row is live with identity ancestry
+            anc_g = jnp.broadcast_to(block_ids[:, :, None], (i, k_max, n_max))
             states.append((
                 jnp.full((i, n), dp.eos_id, jnp.int32),
                 jnp.zeros((i,), bool),
                 rngs[g],
             ))
+        anc_rows.append(anc_g.reshape(i * k_max, n_max))
         i_off += i
-        r_base += rg
-    r_tot = r_base
     last_logits = jnp.concatenate(ll_rows, axis=0)          # [R_tot, V]
     anc0 = jnp.concatenate(anc_rows, axis=0)                # [R_tot, N_max]
-    row_len_rows = jnp.concatenate(rl_rows, axis=0)         # [R_tot]
-    gen_cache = g2.init_cache(gpt2_cfg, r_tot, n_max, layout="stacked")
+    row_len_rows = jnp.repeat(row_len, k_max, axis=0)       # [R_tot]
+    gen_cache = g2.init_cache(gpt2_cfg, r_tot, n_max, layout="beam_gen")
 
     def step(carry, t):
-        last_logits, gen_kv, anc, states = carry
+        last_logits, gen_k, gen_v, anc, states = carry
         tokens, anc_parts, new_states = [], [], []
-        r_off = 0
+        i_off = 0
         for g, dp in enumerate(dps):
             i, k, n = n_inst[g], dp.num_beams, dp.max_new_tokens
-            rg = i * k
-            ll = last_logits[r_off:r_off + rg]
-            anc_g = anc[r_off:r_off + rg]
+            r0 = i_off * k_max
+            rg = i * k_max
+            blk_ll = last_logits[r0:r0 + rg].reshape(i, k_max, -1)
+            blk_anc = anc[r0:r0 + rg].reshape(i, k_max, n_max)
             live = t < n            # False once this group's horizon passed
+            own_idx = ((i_off + jnp.arange(i, dtype=jnp.int32))[:, None] * k_max
+                       + jnp.arange(k, dtype=jnp.int32)[None, :]).reshape(-1)
             if k > 1:
                 bs, gen, fs, fseq = states[g]
+                ll_live = blk_ll[:, :k].reshape(i * k, -1)
                 tok2d, flat_parent, nbs, ngen, nfs, nfseq = beam_select(
-                    ll, bs, gen, fs, fseq, t, dp, k)
-                anc_new = anc_g[flat_parent].at[:, t].set(
-                    jnp.arange(rg, dtype=jnp.int32))
-                tok = tok2d.reshape(-1)
+                    ll_live, bs, gen, fs, fseq, t, dp, k)
+                live_anc = blk_anc[:, :k].reshape(i * k, n_max)
+                new_live = live_anc[flat_parent].at[:, t].set(own_idx)
+                anc_new = (jnp.concatenate(
+                    [new_live.reshape(i, k, n_max), blk_anc[:, k:]], axis=1)
+                    if k < k_max else new_live.reshape(i, k, n_max))
+                tok_blk = jnp.full((i, k_max), dp.eos_id, jnp.int32)
+                tok_blk = tok_blk.at[:, :k].set(tok2d)
                 if n < n_max:       # freeze past the group's horizon
                     nbs = jnp.where(live, nbs, bs)
                     ngen = jnp.where(live, ngen, gen)
                     nfs = jnp.where(live, nfs, fs)
                     nfseq = jnp.where(live, nfseq, fseq)
-                    anc_new = jnp.where(live, anc_new, anc_g)
-                    tok = jnp.where(live, tok, dp.eos_id)
+                    anc_new = jnp.where(live, anc_new, blk_anc)
+                    tok_blk = jnp.where(live, tok_blk, dp.eos_id)
                 new_states.append((nbs, ngen, nfs, nfseq))
             else:
                 gen, fin, rng_g = states[g]
-                tok, ngen, nfin, nrng = sample_select(ll, gen, fin, t, dp, rng_g)
-                anc_new = anc_g     # identity ancestry never changes
+                tok, ngen, nfin, nrng = sample_select(
+                    blk_ll[:, 0], gen, fin, t, dp, rng_g)
+                anc_new = blk_anc     # identity ancestry never changes
+                tok_blk = jnp.full((i, k_max), dp.eos_id, jnp.int32)
+                tok_blk = tok_blk.at[:, 0].set(tok)
                 if n < n_max:
                     ngen = jnp.where(live, ngen, gen)
                     nfin = jnp.where(live, nfin, fin)
-                    tok = jnp.where(live, tok, dp.eos_id)
+                    tok_blk = jnp.where(live, tok_blk, dp.eos_id)
                 new_states.append((ngen, nfin, nrng))
-            tokens.append(tok)
-            anc_parts.append(anc_new)
-            r_off += rg
+            tokens.append(tok_blk.reshape(-1))
+            anc_parts.append(anc_new.reshape(rg, n_max))
+            i_off += i
         token_vec = jnp.concatenate(tokens)
         anc = jnp.concatenate(anc_parts, axis=0)
         embeds = wte[token_vec]
         positions = row_len_rows + t
-        logits, new_cache = g2.gpt2_mixed_step(
+        logits, new_cache = g2.gpt2_beam_step(
             gpt2_params, embeds, positions, prefill_cache, prefill_valid,
-            {"kv": gen_kv}, anc, t, group_shapes, gpt2_cfg,
+            {"k": gen_k, "v": gen_v}, anc, t, k_max, gpt2_cfg,
         )
-        return (logits, new_cache["kv"], anc, tuple(new_states)), None
+        return (logits, new_cache["k"], new_cache["v"], anc, tuple(new_states)), None
 
-    carry = (last_logits, gen_cache["kv"], anc0, tuple(states))
+    carry = (last_logits, gen_cache["k"], gen_cache["v"], anc0, tuple(states))
     carry, _ = jax.lax.scan(step, carry, jnp.arange(n_max, dtype=jnp.int32))
-    _, _, _, states = carry
+    states = carry[-1]
 
     outs = []
     for g, dp in enumerate(dps):

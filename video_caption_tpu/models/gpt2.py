@@ -96,6 +96,16 @@ def init_cache(cfg: GPT2Config, batch: int, max_len: int, dtype: Any = None,
     but overhead-dominated (~35us each on v5e regardless of size), so
     halving the count saves ~0.4 ms per decode step at n_layer=12."""
     dtype = dtype or cfg.dtype
+    if layout == "beam_gen":
+        # beam/unified GENERATED-region cache: split K and V, TIME-major —
+        # ``[L, max_len(N), batch(R), nh, hd]``. Each decode step then
+        # writes one CONTIGUOUS [1,1,R,nh,hd] slab per buffer per layer;
+        # the interleaved row-major layout's single-column writes straddled
+        # every (8,128) tile (200us/write on v5e, hlo_stats trace) and its
+        # strided K/V reads forced per-step layout-transposing copies of
+        # the whole cache.
+        shape = (cfg.n_layer, max_len, batch, cfg.n_head, cfg.head_dim)
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
     if cfg.use_pallas_decode_layer and layout != "stacked":
         from video_caption_tpu.ops.pallas.decode_layer import kernel_path_supported
 
@@ -325,8 +335,10 @@ def ancestry_mask(anc: jax.Array, b: int, k_beams: int, t: jax.Array) -> jax.Arr
 
 def _beam_attend(
     q: jax.Array,               # [R, nh, hd] — this group's query rows (R = B*K)
-    pkv_layer: jax.Array,       # [B, S0, 2, nh, hd] — one layer's prefill K|V
-    gkv_layer: jax.Array,       # [R, N, 2, nh, hd] — one layer's gen K|V
+    pk: jax.Array,              # [B, S0, nh, hd] — one layer's prefill K
+    pv: jax.Array,              # [B, S0, nh, hd] — one layer's prefill V
+    gk: jax.Array,              # [N, R, nh, hd] — one layer's gen K (TIME-major)
+    gv: jax.Array,              # [N, R, nh, hd] — one layer's gen V
     prefill_valid: jax.Array,   # [B, S0]
     sel: jax.Array,             # [B,Kq,1,Kv,N] ancestry mask (ancestry_mask)
     k_beams: int,
@@ -339,18 +351,18 @@ def _beam_attend(
     dt = cfg.dtype
     r = q.shape[0]
     b, s0 = prefill_valid.shape
-    n = gkv_layer.shape[1]
+    n = gk.shape[0]
     scale = cfg.head_dim ** -0.5
 
     qb = q.reshape(b, k_beams, cfg.n_head, cfg.head_dim)
-    lp_ = jnp.einsum("bkhd,bshd->bkhs", qb, pkv_layer[:, :, 0].astype(dt),
+    lp_ = jnp.einsum("bkhd,bshd->bkhs", qb, pk.astype(dt),
                      preferred_element_type=jnp.float32) * scale        # [B,K,nh,S0]
     lp_ = jnp.where(prefill_valid[:, None, None, :] > 0, lp_, jnp.float32(-1e30))
     lp_ = lp_.reshape(r, cfg.n_head, s0)
 
-    gkb = gkv_layer[:, :, 0].reshape(b, k_beams, n, cfg.n_head, cfg.head_dim)
-    gvb = gkv_layer[:, :, 1].reshape(b, k_beams, n, cfg.n_head, cfg.head_dim)
-    lg = jnp.einsum("bqhd,bknhd->bqhkn", qb, gkb.astype(dt),
+    gkb = gk.reshape(n, b, k_beams, cfg.n_head, cfg.head_dim)
+    gvb = gv.reshape(n, b, k_beams, cfg.n_head, cfg.head_dim)
+    lg = jnp.einsum("bqhd,nbkhd->bqhkn", qb, gkb.astype(dt),
                     preferred_element_type=jnp.float32) * scale         # [B,Kq,nh,Kv,N]
     lg = jnp.where(sel, lg, jnp.float32(-1e30))
     lg = lg.reshape(r, cfg.n_head, k_beams * n)
@@ -358,8 +370,8 @@ def _beam_attend(
     attn = jax.nn.softmax(jnp.concatenate([lp_, lg], axis=-1), axis=-1).astype(dt)
     ap, ag = attn[..., :s0], attn[..., s0:]
     out_p = jnp.einsum("bkhs,bshd->bkhd", ap.reshape(b, k_beams, cfg.n_head, s0),
-                       pkv_layer[:, :, 1].astype(dt)).reshape(r, cfg.n_head, cfg.head_dim)
-    out_g = jnp.einsum("bqhkn,bknhd->bqhd",
+                       pv.astype(dt)).reshape(r, cfg.n_head, cfg.head_dim)
+    out_g = jnp.einsum("bqhkn,nbkhd->bqhd",
                        ag.reshape(b, k_beams, cfg.n_head, k_beams, n),
                        gvb.astype(dt)).reshape(r, cfg.n_head, cfg.head_dim)
     return (out_p + out_g).reshape(r, cfg.n_embd)
@@ -371,7 +383,7 @@ def gpt2_beam_step(
     positions: jax.Array,       # [R] int32 — absolute position ids
     prefill_cache: Cache,       # {k,v: [L, B, S0, nh, hd]} — read-only, SHARED by beams
     prefill_valid: jax.Array,   # [B, S0] int32 — left-pad mask of the prompt
-    gen_cache: Cache,           # {k,v: [L, R, N, nh, hd]} — append-only, NEVER reordered
+    gen_cache: Cache,           # {k,v: [L, N, R, nh, hd]} TIME-major — append-only
     anc: jax.Array,             # [R, N] int32 — physical gen-cache row per position
     t: jax.Array,               # scalar int32 — current decode step (gen column)
     num_beams: int,
@@ -415,11 +427,16 @@ def gpt2_beam_step(
 
     # PYTHON-UNROLLED layer loop (same rationale as gpt2_forward's decode
     # branch): the layer-scan form re-stacked the [L,R,N,H] gen caches every
-    # token step; unrolled, each layer issues one tiny in-place write against
-    # the loop-carried stacked buffer and reads its own layer as a static
-    # slice that fuses into the attention einsums.
-    gkv_all = gen_cache["kv"]                           # [L,R,N,2,nh,hd]
-    pkv_all = prefill_cache["kv"]                       # [L,B,S0,2,nh,hd]
+    # token step; unrolled, each layer issues in-place writes against the
+    # loop-carried stacked buffers and reads its own layer as a static
+    # slice that fuses into the attention einsums. K and V are SPLIT and the
+    # gen cache is TIME-major (init_cache "beam_gen" docstring): the
+    # per-step write is a contiguous [1,1,R,nh,hd] slab, and every per-step
+    # read is a clean static slice — the earlier interleaved layout cost
+    # ~200us per write plus a per-step layout-transposing copy of the whole
+    # prefill cache (hlo_stats trace, v5e bs=64).
+    gk_all, gv_all = gen_cache["k"], gen_cache["v"]     # [L,N,R,nh,hd]
+    pk_all, pv_all = prefill_cache["k"], prefill_cache["v"]  # [L,B,S0,nh,hd]
     for layer in range(cfg.n_layer):
         blk = jax.tree.map(lambda a, _l=layer: a[_l], params["blocks"])
         a_in = _layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
@@ -427,13 +444,13 @@ def gpt2_beam_step(
         qkv = qkv.reshape(r, 3, cfg.n_head, cfg.head_dim)
         q = qkv[:, 0]                                                   # [R, nh, hd]
 
-        # append-only interleaved K|V write at (layer, own row, column t) —
-        # ONE dynamic_update_slice per layer (init_cache docstring)
-        gkv_all = jax.lax.dynamic_update_slice(
-            gkv_all, qkv[:, 1:3].astype(gkv_all.dtype)[None, :, None],
-            (layer, 0, t, 0, 0, 0))
+        gk_all = jax.lax.dynamic_update_slice(
+            gk_all, qkv[:, 1].astype(gk_all.dtype)[None, None], (layer, t, 0, 0, 0))
+        gv_all = jax.lax.dynamic_update_slice(
+            gv_all, qkv[:, 2].astype(gv_all.dtype)[None, None], (layer, t, 0, 0, 0))
 
-        out = _beam_attend(q, pkv_all[layer], gkv_all[layer],
+        out = _beam_attend(q, pk_all[layer], pv_all[layer],
+                           gk_all[layer], gv_all[layer],
                            prefill_valid, sel, k_beams, cfg)
         out = out @ block_weight(blk, "proj_w", dt) + blk["proj_b"].astype(dt)
         x = x + out
@@ -447,87 +464,7 @@ def gpt2_beam_step(
     logits = jnp.einsum(
         "rh,vh->rv", x, params["wte"].astype(dt), preferred_element_type=jnp.float32
     )
-    return logits, {"kv": gkv_all}
-
-
-def gpt2_mixed_step(
-    params: Params,
-    token_embeds: jax.Array,    # [R, H] — one new token per row, ALL groups
-    positions: jax.Array,       # [R] int32 — absolute position ids
-    prefill_cache: Cache,       # {kv: [L, I, S0, 2, nh, hd]} — one row per instance
-    prefill_valid: jax.Array,   # [I, S0] int32 — left-pad mask per instance
-    gen_cache: Cache,           # {kv: [L, R, N, 2, nh, hd]} — append-only
-    anc: jax.Array,             # [R, N] int32 — GROUP-LOCAL ancestor row per column
-    t: jax.Array,               # scalar int32 — current decode step
-    group_shapes: Tuple[Tuple[int, int], ...],  # static: (n_instances, k_beams) per group
-    cfg: GPT2Config,
-) -> Tuple[jax.Array, Cache]:
-    """One decode step for a MIXED-policy row set (SURVEY §7 hard part 6).
-
-    The unified decode (decode/unified.py) lays rows out group-contiguously:
-    group g owns instances [i_off, i_off+I_g) of the prefill cache and rows
-    [r_off, r_off+I_g*K_g) of the gen cache, where K_g = its beam width
-    (1 for greedy/sampled rows). This step runs every WEIGHT matmul — qkv,
-    attention out-projection, both MLP layers, the LM head — over the FULL
-    row set, so the bandwidth-bound weight streaming is paid once for all
-    policies; only the (weight-free) attention einsums run per group, each a
-    static slice using the same split-cache ancestry attention as
-    gpt2_beam_step (a sampled row is a K=1 beam with identity ancestry).
-
-    The reference instead runs its presets as 3 sequential full decodes
-    (core/engine.py:75-79), re-reading the decoder weights each time.
-
-    Returns (logits [R, V] fp32, new gen_cache).
-    """
-    dt = cfg.dtype
-    from video_caption_tpu.models.quantize import block_weight
-
-    r, h = token_embeds.shape
-    x = token_embeds.astype(dt) + params["wpe"][positions].astype(dt)   # [R, H]
-
-    # per-group ancestry one-hots (layer-independent)
-    sels, offs = [], []
-    i_off = r_off = 0
-    for n_inst, k_beams in group_shapes:
-        rg = n_inst * k_beams
-        sels.append(ancestry_mask(anc[r_off:r_off + rg], n_inst, k_beams, t))
-        offs.append((i_off, n_inst, r_off, rg, k_beams))
-        i_off += n_inst
-        r_off += rg
-
-    gkv_all = gen_cache["kv"]                           # [L,R,N,2,nh,hd]
-    pkv_all = prefill_cache["kv"]                       # [L,I,S0,2,nh,hd]
-    for layer in range(cfg.n_layer):
-        blk = jax.tree.map(lambda a, _l=layer: a[_l], params["blocks"])
-        a_in = _layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
-        qkv = a_in @ block_weight(blk, "attn_w", dt) + blk["attn_b"].astype(dt)
-        qkv = qkv.reshape(r, 3, cfg.n_head, cfg.head_dim)
-        q = qkv[:, 0]                                                   # [R, nh, hd]
-
-        # ONE interleaved K|V write for ALL rows (they all write column t)
-        gkv_all = jax.lax.dynamic_update_slice(
-            gkv_all, qkv[:, 1:3].astype(gkv_all.dtype)[None, :, None],
-            (layer, 0, t, 0, 0, 0))
-
-        outs = []
-        for sel, (io, ni, ro, rg, kb) in zip(sels, offs):
-            outs.append(_beam_attend(
-                q[ro:ro + rg], pkv_all[layer, io:io + ni], gkv_all[layer, ro:ro + rg],
-                prefill_valid[io:io + ni], sel, kb, cfg))
-        out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-        out = out @ block_weight(blk, "proj_w", dt) + blk["proj_b"].astype(dt)
-        x = x + out
-
-        m_in = _layer_norm(x, blk["ln2_scale"], blk["ln2_bias"], cfg.ln_eps)
-        m = m_in @ block_weight(blk, "fc_w", dt) + blk["fc_b"].astype(dt)
-        m = jax.nn.gelu(m.astype(jnp.float32), approximate=True).astype(dt)
-        m = m @ block_weight(blk, "out_w", dt) + blk["out_b"].astype(dt)
-        x = x + m
-    x = _layer_norm(x, params["lnf_scale"], params["lnf_bias"], cfg.ln_eps)
-    logits = jnp.einsum(
-        "rh,vh->rv", x, params["wte"].astype(dt), preferred_element_type=jnp.float32
-    )
-    return logits, {"kv": gkv_all}
+    return logits, {"k": gk_all, "v": gv_all}
 
 
 def gpt2_logits_nocache(
