@@ -197,23 +197,18 @@ def measure_roofline(engine, batch: int = 16, trials: int = 5,
               batch * vit_encode_flops(mc, c.num_frames),
               vit_encode_bytes(engine.params, mc, c.num_frames, batch))
 
-    # stage 2..: one grouped decode program per distinct policy
-    from video_caption_tpu.decode.generate import generate_prefixed
-
+    # stage 2..: one grouped decode program per distinct policy, measured
+    # through the engine's own group-dispatch path (run_decode_group)
     _, group_list, _ = engine._fused_infer_program()
     total = t_enc
     for gi, (dp, idxs, ids_arr, mask_arr) in enumerate(group_list):
         rows = len(idxs)
-        prefix_rows = jnp.repeat(prefix, rows, axis=0)
-        ids = jnp.asarray(np.tile(ids_arr, (batch, 1)))
-        mask = jnp.asarray(np.tile(mask_arr, (batch, 1)))
-
         rng = jax.random.PRNGKey(hash(("roofline", gi)) & 0x7FFFFFFF)
 
-        def run(pr=prefix_rows, i=ids, m=mask, d=dp, key=rng):
+        def run(d=dp, ia=ids_arr, ma=mask_arr, key=rng):
             # throwaway key: must NOT consume engine._rng (would shift the
             # engine's sampled outputs for subsequent seeded inferences)
-            return generate_prefixed(engine.params["decoder"], mc.gpt2, pr, i, m, d, key)
+            return engine.run_decode_group(prefix, d, ia, ma, key)
 
         t_g, _ = _timed(run, trials)
         total += t_g

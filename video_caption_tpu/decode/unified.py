@@ -135,7 +135,7 @@ def generate_unified(
     gen_cache = g2.init_cache(gpt2_cfg, r_tot, n_max, layout="beam_gen")
 
     def step(carry, t):
-        last_logits, gen_k, gen_v, anc, states = carry
+        last_logits, gen_kv, anc, states = carry
         tokens, anc_parts, new_states = [], [], []
         i_off = 0
         for g, dp in enumerate(dps):
@@ -188,11 +188,11 @@ def generate_unified(
         positions = row_len_rows + t
         logits, new_cache = g2.gpt2_beam_step(
             gpt2_params, embeds, positions, prefill_cache, prefill_valid,
-            {"k": gen_k, "v": gen_v}, anc, t, k_max, gpt2_cfg,
+            {"kv": gen_kv}, anc, t, k_max, gpt2_cfg,
         )
-        return (logits, new_cache["k"], new_cache["v"], anc, tuple(new_states)), None
+        return (logits, new_cache["kv"], anc, tuple(new_states)), None
 
-    carry = (last_logits, gen_cache["k"], gen_cache["v"], anc0, tuple(states))
+    carry = (last_logits, gen_cache["kv"], anc0, tuple(states))
     carry, _ = jax.lax.scan(step, carry, jnp.arange(n_max, dtype=jnp.int32))
     states = carry[-1]
 

@@ -423,13 +423,8 @@ class InferenceEngine:
                 )
             outs = []
             for (dp, idxs, ids_arr, mask_arr), sub in zip(group_list, keys):
-                rows = len(idxs)
-                prefix_rows = jnp.repeat(prefix, rows, axis=0)
-                ids = jnp.asarray(np.tile(ids_arr, (v, 1)))
-                mask = jnp.asarray(np.tile(mask_arr, (v, 1)))
-                outs.append(gen.generate_prefixed(
-                    params["decoder"], model_cfg.gpt2, prefix_rows, ids, mask, dp, sub,
-                ))
+                outs.append(self.run_decode_group(
+                    prefix, dp, ids_arr, mask_arr, sub, params=params))
             return tuple(outs)
 
         self._fused_program = (program, group_list, len(pairs))
@@ -487,18 +482,35 @@ class InferenceEngine:
             )
         else:
             prefix = self._prefix_fn(self.params, video)
-            v = video.shape[0]
             outs = []
             for dp, idxs, ids_arr, mask_arr in group_list:
-                prefix_rows = jnp.repeat(prefix, len(idxs), axis=0)
-                ids = jnp.asarray(np.tile(ids_arr, (v, 1)))
-                mask = jnp.asarray(np.tile(mask_arr, (v, 1)))
                 sub, key = jax.random.split(sub)
-                outs.append(generate_prefixed(
-                    self.params["decoder"], self.model_cfg.gpt2, prefix_rows,
-                    ids, mask, dp, key,
-                ))
+                outs.append(self.run_decode_group(prefix, dp, ids_arr, mask_arr, key))
         return outs, group_list, n_pairs, video.shape[0]
+
+    def run_decode_group(self, prefix: jax.Array, dp: DecodeParams,
+                         ids_arr: np.ndarray, mask_arr: np.ndarray, key,
+                         params=None):
+        """Decode ONE policy group for all videos of ``prefix`` [V,P,H] —
+        the engine's single group-dispatch point (also measured by
+        bench/roofline.py so benchmarks see exactly the serving path).
+
+        Measured v5e bs=64 (roofline, 2026-08-17): routing single groups
+        through generate_unified's split-cache machinery was NEUTRAL for
+        beam groups (183.5 vs 182.0 ms — it IS the same gpt2_beam_step) and
+        WORSE for the 64-row sampled group (72.4 vs 65.9 ms — the plain
+        contiguous-cache program wins at small row counts), so single
+        groups keep their dedicated paths; the unified program is for
+        multi-group fusion (CompileConfig.unified_decode)."""
+        params = self.params if params is None else params
+        v = prefix.shape[0]
+        prefix_rows = jnp.repeat(prefix, ids_arr.shape[0], axis=0)
+        ids = jnp.asarray(np.tile(ids_arr, (v, 1)))
+        mask = jnp.asarray(np.tile(mask_arr, (v, 1)))
+        return generate_prefixed(
+            params["decoder"], self.model_cfg.gpt2, prefix_rows, ids, mask,
+            dp, key,
+        )
 
     def _collect_videos(self, handle) -> list:
         """Materialize a ``_dispatch_videos`` handle -> texts[v][preset_idx]."""

@@ -97,15 +97,17 @@ def init_cache(cfg: GPT2Config, batch: int, max_len: int, dtype: Any = None,
     halving the count saves ~0.4 ms per decode step at n_layer=12."""
     dtype = dtype or cfg.dtype
     if layout == "beam_gen":
-        # beam/unified GENERATED-region cache: split K and V, TIME-major —
-        # ``[L, max_len(N), batch(R), nh, hd]``. Each decode step then
-        # writes one CONTIGUOUS [1,1,R,nh,hd] slab per buffer per layer;
-        # the interleaved row-major layout's single-column writes straddled
-        # every (8,128) tile (200us/write on v5e, hlo_stats trace) and its
-        # strided K/V reads forced per-step layout-transposing copies of
-        # the whole cache.
-        shape = (cfg.n_layer, max_len, batch, cfg.n_head, cfg.head_dim)
-        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        # beam/unified GENERATED-region cache: TIME-major
+        # ``[L, max_len(N), 2, batch(R), nh, hd]`` with K|V interleaved
+        # ABOVE the row dims. Each decode step then writes one CONTIGUOUS
+        # [1,1,2,R,nh,hd] slab per layer (K and V together — DUS cost is
+        # overhead-dominated, so one write beats two), and the K/V reads
+        # stay non-strided static slices. The original row-major interleaved
+        # layout's single-column writes straddled every (8,128) tile
+        # (200us/write on v5e, hlo_stats trace) and its strided K/V reads
+        # forced per-step layout-transposing copies of the whole cache.
+        shape = (cfg.n_layer, max_len, 2, batch, cfg.n_head, cfg.head_dim)
+        return {"kv": jnp.zeros(shape, dtype)}
     if cfg.use_pallas_decode_layer and layout != "stacked":
         from video_caption_tpu.ops.pallas.decode_layer import kernel_path_supported
 
@@ -435,7 +437,7 @@ def gpt2_beam_step(
     # read is a clean static slice — the earlier interleaved layout cost
     # ~200us per write plus a per-step layout-transposing copy of the whole
     # prefill cache (hlo_stats trace, v5e bs=64).
-    gk_all, gv_all = gen_cache["k"], gen_cache["v"]     # [L,N,R,nh,hd]
+    gkv_all = gen_cache["kv"]                           # [L,N,2,R,nh,hd]
     pk_all, pv_all = prefill_cache["k"], prefill_cache["v"]  # [L,B,S0,nh,hd]
     for layer in range(cfg.n_layer):
         blk = jax.tree.map(lambda a, _l=layer: a[_l], params["blocks"])
@@ -444,13 +446,13 @@ def gpt2_beam_step(
         qkv = qkv.reshape(r, 3, cfg.n_head, cfg.head_dim)
         q = qkv[:, 0]                                                   # [R, nh, hd]
 
-        gk_all = jax.lax.dynamic_update_slice(
-            gk_all, qkv[:, 1].astype(gk_all.dtype)[None, None], (layer, t, 0, 0, 0))
-        gv_all = jax.lax.dynamic_update_slice(
-            gv_all, qkv[:, 2].astype(gv_all.dtype)[None, None], (layer, t, 0, 0, 0))
+        kv_new = jnp.swapaxes(qkv[:, 1:3], 0, 1)        # [2, R, nh, hd]
+        gkv_all = jax.lax.dynamic_update_slice(
+            gkv_all, kv_new.astype(gkv_all.dtype)[None, None],
+            (layer, t, 0, 0, 0, 0))
 
         out = _beam_attend(q, pk_all[layer], pv_all[layer],
-                           gk_all[layer], gv_all[layer],
+                           gkv_all[layer, :, 0], gkv_all[layer, :, 1],
                            prefill_valid, sel, k_beams, cfg)
         out = out @ block_weight(blk, "proj_w", dt) + blk["proj_b"].astype(dt)
         x = x + out
@@ -464,7 +466,7 @@ def gpt2_beam_step(
     logits = jnp.einsum(
         "rh,vh->rv", x, params["wte"].astype(dt), preferred_element_type=jnp.float32
     )
-    return logits, {"k": gk_all, "v": gv_all}
+    return logits, {"kv": gkv_all}
 
 
 def gpt2_logits_nocache(

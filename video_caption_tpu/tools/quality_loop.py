@@ -180,7 +180,12 @@ def train_align(ann_path: str, num_frames: int, image_size: int,
 
     tokenizer = get_tokenizer()
     records = json.loads(Path(ann_path).read_text(encoding="utf-8"))
-    cfg = align.AlignConfig()
+    from video_caption_tpu.models import vit as vt
+
+    # ViT geometry must match the rendered frame size (pos_embed length is
+    # a function of image_size — a 224 default against smaller frames fails
+    # at trace time)
+    cfg = align.AlignConfig(vit=vt.ViTConfig(image_size=image_size))
     key = jax.random.PRNGKey(seed)
     params0 = align.init_align_params(key, cfg)
 
