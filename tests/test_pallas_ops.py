@@ -189,3 +189,38 @@ def test_encoder_attention_kernel_is_differentiable(tiny_cfg, tiny_params):
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4),
         g_base, g_fused,
     )
+
+
+def test_pool_and_projector_custom_vjp_math():
+    """The mapper trainer differentiates through prefix_project (trainable
+    mapper) and the frozen-ViT pool; both kernels now carry custom VJPs so
+    the TPU training step keeps the Pallas forward. The backward formulas
+    are verified here against autodiff of the plain ops (the kernels
+    themselves are TPU-gated; the VJP rules are backend-independent)."""
+    from video_caption_tpu.ops.pallas.fused_pool import _xla_pool
+    from video_caption_tpu.ops.pallas.prefix_projector import _project_bwd
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(5, 256), jnp.float32)
+    w = jnp.asarray(rng.randn(256, 512), jnp.float32)
+    b = jnp.asarray(rng.randn(512), jnp.float32)
+    g = jnp.asarray(rng.randn(5, 512), jnp.float32)
+    _, vjp = jax.vjp(lambda x, w, b: x @ w + b, x, w, b)
+    expect = vjp(g)
+    got = _project_bwd((x, w), g)
+    for e, a in zip(expect, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), rtol=1e-3, atol=1e-4)
+
+    t = jnp.asarray(rng.randn(8, 9, 128), jnp.float32)
+    for mode in ("cls", "gap"):
+        def ref_pool(t, m=mode):
+            per = t[:, 0, :] if m == "cls" else jnp.mean(t[:, 1:, :], axis=1)
+            return jnp.mean(per.reshape(2, 4, -1), axis=1)
+
+        np.testing.assert_allclose(
+            np.asarray(_xla_pool(t, 2, 4, mode)), np.asarray(ref_pool(t)),
+            rtol=1e-6, atol=1e-6)
+        g_ref = jax.grad(lambda t: jnp.sum(ref_pool(t) ** 2))(t)
+        g_xla = jax.grad(lambda t: jnp.sum(jnp.sum(_xla_pool(t, 2, 4, mode) ** 2)))(t)
+        np.testing.assert_allclose(np.asarray(g_xla), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-5)

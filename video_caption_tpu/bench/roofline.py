@@ -261,3 +261,106 @@ def measure_roofline(engine, batch: int = 16, trials: int = 5,
         p.parent.mkdir(exist_ok=True)
         p.write_text(json.dumps(result, indent=1))
     return result
+
+
+def measure_training_step(
+    batch: int = 8, num_frames: int = 8, trials: int = 10,
+    yuv420_wire: bool = True, unfreeze_last_gpt2: int = 0,
+    report_path: Optional[str] = "reports/roofline_training.json",
+) -> Dict[str, Any]:
+    """Training-step roofline at full production geometry (frozen ViT-B/16 +
+    mapper + GPT-2 teacher forcing — the product trainer's stage).
+
+    Reports BOTH timings the serving roofline separates: ``device_ms``
+    (batch pre-resident on device — chip speed) and ``e2e_ms`` (host batch
+    shipped per step — what a real epoch pays; the gap is the wire).
+    FLOPs come from XLA's own compiled cost analysis, not an analytic model
+    (the backward graph's cost depends on what is frozen). Reference
+    counterpart: no training profile exists in the reference at all; this is
+    the ncu-roofline treatment applied to train_caption_mapper.py:276-306.
+    """
+    import jax.numpy as jnp
+
+    from video_caption_tpu.config import default_inference_config
+    from video_caption_tpu.engine import model_config_from_inference
+    from video_caption_tpu.models import caption_model as cm
+    from video_caption_tpu.preprocessing.yuv420 import packed_plane_len
+    from video_caption_tpu.training.mapper_trainer import MapperTrainer, TrainArgs
+
+    inf_cfg = default_inference_config(ckpt="none.pt", num_frames=num_frames)
+    mc = model_config_from_inference(inf_cfg)
+    params = cm.init_caption_model(jax.random.PRNGKey(0), mc)
+    trainer = MapperTrainer(
+        mc, params,
+        TrainArgs(unfreeze_last_gpt2=unfreeze_last_gpt2,
+                  out_dir="/tmp/roofline_train"),
+    )
+    rng = np.random.RandomState(0)
+    size = inf_cfg.image_size
+    if yuv420_wire:
+        vid = rng.randint(0, 255,
+                          (batch, num_frames, packed_plane_len(size)), np.uint8)
+    else:
+        vid = rng.randint(0, 255, (batch, num_frames, 3, size, size), np.uint8)
+    host_batch = {
+        "video": vid,
+        "caption_ids": rng.randint(0, 50000, (batch, 24)).astype(np.int32),
+        "attention_mask": np.ones((batch, 24), np.int32),
+    }
+
+    from video_caption_tpu.parallel.mesh import shard_batch
+
+    def step_host():
+        # params/opt_state are donated: thread them like the real loop does
+        b = shard_batch(host_batch, trainer.mesh)
+        trainer.params, trainer.opt_state, loss = trainer.train_step(
+            trainer.params, trainer.opt_state, b)
+        return loss
+
+    t_e2e, _ = _timed(step_host, trials)
+
+    dev_batch = jax.tree.map(jnp.asarray, host_batch)
+    jax.block_until_ready(dev_batch)
+
+    def step_dev():
+        trainer.params, trainer.opt_state, loss = trainer.train_step(
+            trainer.params, trainer.opt_state, dev_batch)
+        return loss
+
+    t_dev, _ = _timed(step_dev, trials)
+
+    # XLA's own FLOP count for the compiled step (exact for the traced graph)
+    flops = None
+    try:
+        lowered = trainer.train_step.lower(
+            trainer.params, trainer.opt_state, dev_batch)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:   # cost_analysis availability varies by backend
+        pass
+
+    peaks = chip_peaks()
+    wire_bytes = sum(
+        v.size * v.dtype.itemsize for v in host_batch.values()
+    )
+    result = {
+        "device_kind": getattr(jax.devices()[0], "device_kind", "unknown"),
+        "batch": batch, "num_frames": num_frames,
+        "yuv420_wire": yuv420_wire,
+        "unfreeze_last_gpt2": unfreeze_last_gpt2,
+        "trials": trials,
+        "device_ms": round(t_dev * 1e3, 2),
+        "e2e_ms": round(t_e2e * 1e3, 2),
+        "wire_mb_per_step": round(wire_bytes / 1e6, 2),
+        "gflops": round(flops / 1e9, 1) if flops else None,
+        "tflops_per_sec": round(flops / t_dev / 1e12, 2) if flops else None,
+    }
+    if peaks and flops:
+        result["pct_peak_flops"] = round(100 * flops / t_dev / peaks[0], 2)
+    if report_path:
+        p = Path(report_path)
+        p.parent.mkdir(exist_ok=True)
+        p.write_text(json.dumps(result, indent=1))
+    return result

@@ -62,10 +62,12 @@ class MSVDDataset:
         split: Optional[str] = None,
         captions_per_video: int = 0,   # 0 = all captions
         uint8_pixels: bool = False,    # ship raw pixels, normalize on device
+        yuv420_wire: bool = False,     # ship raw 4:2:0 planes (1.5 B/px)
     ):
         self.num_frames = num_frames
         self.image_size = image_size
         self.uint8_pixels = uint8_pixels
+        self.yuv420_wire = yuv420_wire
         records = json.loads(Path(ann_path).read_text(encoding="utf-8"))
         if isinstance(records, dict):
             records = records.get("annotations", records.get("records", []))
@@ -94,7 +96,19 @@ class MSVDDataset:
     def load_video(self, frames_dir: str) -> np.ndarray:
         files = list_frames(frames_dir)
         picks = [files[i] for i in _sample_indices(len(files), self.num_frames)]
-        if self.uint8_pixels:
+        if self.yuv420_wire:
+            # training wire parity with the serving engine: canonical 4:2:0
+            # JPEGs ship as raw decoded planes [T, plane_len] (1.5 B/px, half
+            # the uint8-RGB bytes); the jitted train step finishes the decode
+            # on-device bit-exactly (models/caption_model.encode_video ->
+            # preprocessing/yuv420.py). Non-4:2:0 videos fall back to RGB;
+            # DataLoader._make_batch unifies mixed batches.
+            from video_caption_tpu.native.loader import load_frames_native_yuv420
+
+            packed = load_frames_native_yuv420(picks, self.image_size)
+            if packed is not None:
+                return packed
+        if self.uint8_pixels or self.yuv420_wire:
             from video_caption_tpu.preprocessing.frame_loader import load_image_u8
 
             return np.stack([load_image_u8(p, self.image_size) for p in picks])
@@ -150,10 +164,23 @@ class DataLoader:
     def _make_batch(self, indices: List[int]) -> Dict[str, Any]:
         items = [self.dataset[i] for i in indices]
         ids_masks = [self._tokenize(it["caption"]) for it in items]
+        videos = [it["video"] for it in items]
+        if self.dataset.yuv420_wire and any(v.ndim == 4 for v in videos) and \
+                any(v.ndim == 2 for v in videos):
+            # mixed formats: unify to RGB via the bit-exact host converter so
+            # the step program sees one static shape per batch (at most two
+            # compiled programs total: all-packed and RGB)
+            from video_caption_tpu.preprocessing.yuv420 import yuv420_packed_to_rgb_chw_np
+
+            videos = [
+                v if v.ndim == 4 else yuv420_packed_to_rgb_chw_np(v, self.dataset.image_size)
+                for v in videos
+            ]
+        video = np.stack(videos)
+        if not (self.dataset.uint8_pixels or self.dataset.yuv420_wire):
+            video = video.astype(np.float32)
         return {
-            "video": np.stack([it["video"] for it in items]).astype(
-                np.uint8 if self.dataset.uint8_pixels else np.float32
-            ),
+            "video": video,
             "caption_ids": np.stack([im[0] for im in ids_masks]),
             "attention_mask": np.stack([im[1] for im in ids_masks]),
             "video_id": [it["video_id"] for it in items],
@@ -203,16 +230,20 @@ def build_dataloader(
     num_workers: int = 0,
     split: Optional[str] = None,
     uint8_pixels: bool = False,
+    yuv420_wire: bool = False,
     **compat_kwargs,
 ) -> DataLoader:
     """Reference-compatible factory (src/cli/train.py:84-93). The reference
     call sites pass the misspelled ``num_wokers`` — accepted via
     ``compat_kwargs``. ``uint8_pixels`` ships raw resized pixels and lets the
-    device normalize (4x less host->device traffic per training step)."""
+    device normalize (4x less host->device traffic per training step);
+    ``yuv420_wire`` ships raw 4:2:0 planes instead (1.5 B/px — another 2x,
+    the same wire the serving engine uses)."""
     if "num_wokers" in compat_kwargs:
         num_workers = compat_kwargs.pop("num_wokers")
     dataset = MSVDDataset(ann_path, num_frames=num_frame, image_size=image_size,
-                          split=split, uint8_pixels=uint8_pixels)
+                          split=split, uint8_pixels=uint8_pixels,
+                          yuv420_wire=yuv420_wire)
     return DataLoader(
         dataset, tokenizer, batch_size=batch_size, max_len=max_len,
         shuffle=shuffle, num_workers=num_workers,

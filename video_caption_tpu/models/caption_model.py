@@ -86,7 +86,17 @@ def init_caption_model(key: jax.Array, cfg: CaptionModelConfig) -> Params:
 
 
 def encode_video(params: Params, video: jax.Array, cfg: CaptionModelConfig) -> jax.Array:
-    """[B,T,3,H,W] -> projected video embedding [B, video_dim] fp32."""
+    """[B,T,3,H,W] (fp32 or uint8) OR [B,T,plane_len] packed 4:2:0 planes ->
+    projected video embedding [B, video_dim] fp32. The packed form is the
+    YUV420 training/serving wire (1.5 B/px): the device finishes the JPEG
+    decode bit-exactly (preprocessing/yuv420.py) before normalization."""
+    if video.ndim == 3:
+        from video_caption_tpu.preprocessing.yuv420 import yuv420_packed_to_rgb_chw
+
+        b, t = video.shape[0], video.shape[1]
+        size = cfg.vit.image_size
+        rgb = yuv420_packed_to_rgb_chw(video.reshape(b * t, -1), size)
+        video = rgb.reshape(b, t, 3, size, size)
     emb = vt.vit_encode(params["encoder"], video, cfg.vit)
     if "proj" in params:
         emb = emb @ params["proj"]["w"] + params["proj"]["b"]

@@ -43,6 +43,36 @@ def _pool_kernel(x_ref, out_ref, *, frames: int, gap: bool):
     out_ref[:] = pooled[None, None, :].astype(out_ref.dtype)
 
 
+def _xla_pool(tokens: jax.Array, batch: int, frames: int, mode: str) -> jax.Array:
+    """Pure-XLA mirror of the kernel's math (models/vit.py::pool_temporal's
+    fallback branch) — the recompute-based backward for the custom VJP, so
+    stage-1 JOINT training (which backprops through the encoder) can keep
+    the kernel instead of tripping Pallas's missing autodiff rule."""
+    if mode == "gap":
+        per_frame = jnp.mean(tokens[:, 1:, :].astype(jnp.float32), axis=1)
+    else:
+        per_frame = tokens[:, 0, :].astype(jnp.float32)
+    out = jnp.mean(per_frame.reshape(batch, frames, -1), axis=1)
+    return out.astype(tokens.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _pool_with_vjp(tokens: jax.Array, batch: int, frames: int, mode: str) -> jax.Array:
+    return _fused_pool(tokens, batch, frames, mode)
+
+
+def _pool_fwd(tokens, batch, frames, mode):
+    return _fused_pool(tokens, batch, frames, mode), tokens
+
+
+def _pool_bwd(batch, frames, mode, tokens, grad_out):
+    _, vjp = jax.vjp(lambda t: _xla_pool(t, batch, frames, mode), tokens)
+    return vjp(grad_out)
+
+
+_pool_with_vjp.defvjp(_pool_fwd, _pool_bwd)
+
+
 @partial(jax.jit, static_argnames=("batch", "frames", "mode"))
 def _fused_pool(tokens: jax.Array, batch: int, frames: int, mode: str) -> jax.Array:
     bt, s, h = tokens.shape
@@ -84,7 +114,7 @@ def fused_pool_temporal(
         last_backend, last_error = "xla-fallback", "lane-unaligned hidden dim"
         return None
     try:
-        out = _fused_pool(tokens, batch, frames, mode)
+        out = _pool_with_vjp(tokens, batch, frames, mode)
         last_backend, last_error = "pallas", None
         return out
     except Exception as exc:  # pragma: no cover - compile failure path

@@ -58,6 +58,30 @@ def _prefix_project_pallas(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Arra
     return out[:bsz]
 
 
+@jax.custom_vjp
+def _project_with_vjp(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
+    return _prefix_project_pallas(x, w, b)
+
+
+def _project_fwd(x, w, b):
+    return _prefix_project_pallas(x, w, b), (x, w)
+
+
+def _project_bwd(res, g):
+    # closed-form linear backward (the op IS x @ w + b) — lets the mapper
+    # trainer differentiate through the kernel instead of tripping Pallas's
+    # missing autodiff rule; fp32 accumulation matches the forward's
+    x, w = res
+    gf = g.astype(jnp.float32)
+    dx = (gf @ w.astype(jnp.float32).T).astype(x.dtype)
+    dw = (x.astype(jnp.float32).T @ gf).astype(w.dtype)
+    db = jnp.sum(gf, axis=0).astype(g.dtype)
+    return dx, dw, db
+
+
+_project_with_vjp.defvjp(_project_fwd, _project_bwd)
+
+
 def prefix_project(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
     """[B, d_in] @ [d_in, d_out] + [d_out]; Pallas when aligned, XLA otherwise."""
     global last_backend, last_error
@@ -70,7 +94,7 @@ def prefix_project(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
         last_backend, last_error = "xla-fallback", "non-TPU backend"
     elif d_in % 128 == 0 and d_out % 128 == 0:
         try:
-            out = _prefix_project_pallas(x, w, b)
+            out = _project_with_vjp(x, w, b)
             last_backend, last_error = "pallas", None
             return out
         except Exception as exc:  # pragma: no cover

@@ -106,6 +106,7 @@ class MapperTrainer:
         self.eval_step = make_eval_step(cfg)
         self.step = 0
         self.best_val = float("inf")
+        self._pending: list = []
         out = Path(args.out_dir)
         out.mkdir(parents=True, exist_ok=True)
         self._events = out / "events.csv"
@@ -119,13 +120,31 @@ class MapperTrainer:
         with path.open("a", newline="") as fh:
             csv.writer(fh).writerow(row)
 
-    def run_step(self, batch: Dict[str, Any]) -> float:
+    def run_step(self, batch: Dict[str, Any], sync: bool = True) -> float:
+        """One optimizer step. ``sync=False`` defers the loss materialization
+        (``float(loss)`` blocks on the device): ``fit`` dispatches step N+1's
+        transfer + compute before reading step N's loss, so the prefetch
+        thread's host work and the host->device copy overlap device compute
+        instead of serializing behind a per-step sync."""
         batch = pmesh.shard_batch(batch, self.mesh)
         self.params, self.opt_state, loss = self.train_step(self.params, self.opt_state, batch)
         self.step += 1
+        if not sync:
+            self._pending.append((self.step, loss))
+            return self.drain_pending(keep=1)
         loss = float(loss)
         self._log_csv(self._events, [self.step, loss])
         return loss
+
+    def drain_pending(self, keep: int = 0) -> float:
+        """Materialize deferred losses older than the last ``keep`` steps;
+        returns the most recently materialized loss (nan if none yet)."""
+        last = float("nan")
+        while len(self._pending) > keep:
+            step, loss = self._pending.pop(0)
+            last = float(loss)
+            self._log_csv(self._events, [step, last])
+        return last
 
     def evaluate(self, val_iter: Iterator[Dict[str, Any]]) -> float:
         total, count = 0.0, 0
@@ -154,15 +173,17 @@ class MapperTrainer:
         t0 = time.time()
         for epoch in range(self.args.epochs):
             for batch in train_loader:
-                loss = self.run_step(batch)
+                loss = self.run_step(batch, sync=False)
                 if self.args.max_steps and self.step >= self.args.max_steps:
                     break
                 if val_loader is not None and self.step % self.args.val_every == 0:
+                    loss = self.drain_pending()
                     val = self.evaluate(iter(val_loader))
                     self.maybe_checkpoint(val, epoch)
                     log.info("step %d loss %.4f val %.4f", self.step, loss, val)
             if self.args.max_steps and self.step >= self.args.max_steps:
                 break
+        self.drain_pending()
         if val_loader is not None:
             val = self.evaluate(iter(val_loader))
             self.maybe_checkpoint(val, self.args.epochs)
