@@ -106,11 +106,14 @@ def _prefill(
         gpt2_params, inputs_embeds, positions, valid, cache, jnp.int32(0), gpt2_cfg
     )
     if split:
-        # repack ONCE into contiguous per-tensor K/V: the beam/unified step
-        # reads this cache every token, and reading the interleaved buffer
-        # forced a layout-transposing copy of the whole cache per step
+        # repack ONCE into contiguous per-tensor K/V with the head dims
+        # MERGED ([L,B,S0,H]) — the beam/unified step's head-blocked
+        # attention consumes merged H, and reading the interleaved
+        # per-head buffer forced a layout-transposing copy per step
         kv = cache["kv"]                    # [L,B,S0,2,nh,hd]
-        cache = {"k": kv[:, :, :, 0], "v": kv[:, :, :, 1]}
+        l, bb, s, _, nh, hd = kv.shape
+        cache = {"k": kv[:, :, :, 0].reshape(l, bb, s, nh * hd),
+                 "v": kv[:, :, :, 1].reshape(l, bb, s, nh * hd)}
     row_lengths = jnp.sum(mask, axis=1).astype(jnp.int32)
     return logits[:, -1, :], cache, valid, row_lengths
 
@@ -347,7 +350,7 @@ def beam_search(
     last_logits = jnp.repeat(last_logits, k, axis=0)    # [R, V]
     row_len_flat = jnp.repeat(row_len, k, axis=0)       # [R]
 
-    gen_cache = g2.init_cache(gpt2_cfg, r, n, layout="beam_gen")  # {k,v: [L,N,R,nh,hd]}
+    gen_cache = g2.init_cache(gpt2_cfg, r, n, layout="beam_gen")  # {kv: [L,N,2,R,H]}
     anc = jnp.zeros((r, n), jnp.int32)                  # ancestry: col j's writer row
 
     beam_scores = jnp.tile(jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), neg_inf)]), (b, 1))

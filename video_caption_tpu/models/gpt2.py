@@ -98,15 +98,18 @@ def init_cache(cfg: GPT2Config, batch: int, max_len: int, dtype: Any = None,
     dtype = dtype or cfg.dtype
     if layout == "beam_gen":
         # beam/unified GENERATED-region cache: TIME-major
-        # ``[L, max_len(N), 2, batch(R), nh, hd]`` with K|V interleaved
-        # ABOVE the row dims. Each decode step then writes one CONTIGUOUS
-        # [1,1,2,R,nh,hd] slab per layer (K and V together — DUS cost is
-        # overhead-dominated, so one write beats two), and the K/V reads
-        # stay non-strided static slices. The original row-major interleaved
-        # layout's single-column writes straddled every (8,128) tile
-        # (200us/write on v5e, hlo_stats trace) and its strided K/V reads
-        # forced per-step layout-transposing copies of the whole cache.
-        shape = (cfg.n_layer, max_len, 2, batch, cfg.n_head, cfg.head_dim)
+        # ``[L, max_len(N), 2, batch(R), H]`` with K|V interleaved ABOVE the
+        # row dims and the head dims MERGED into one H=768 minor axis. Each
+        # decode step writes one CONTIGUOUS [1,1,2,R,H] slab per layer whose
+        # minor two dims (R, H) are full (8,128) tiles. The earlier
+        # ``[..., nh, hd]`` form kept (12, 64) as the minor dims — physical
+        # tiles padded to (16, 128) (2.7x bloat) and every per-step write
+        # landed on one sublane of each tile, a read-modify-write measured
+        # at 134us PER LAYER per step (hlo_stats, v5e bs=64: the 12 writes
+        # were 39 of the beam program's 155 ms self-time). The attention
+        # consumes merged H directly (_beam_attend's head-blocked form), so
+        # no per-head reshape of the cache ever materializes.
+        shape = (cfg.n_layer, max_len, 2, batch, cfg.n_embd)
         return {"kv": jnp.zeros(shape, dtype)}
     if cfg.use_pallas_decode_layer and layout != "stacked":
         from video_caption_tpu.ops.pallas.decode_layer import kernel_path_supported
@@ -322,70 +325,90 @@ def gpt2_forward(
 
 
 def ancestry_mask(anc: jax.Array, b: int, k_beams: int, t: jax.Array) -> jax.Array:
-    """Ancestry one-hot for the dense beam attention: sel[b, kq, 1, kv, j] =
+    """Ancestry one-hot for the dense beam attention: sel[b, kq, j, kv] =
     "video b's query beam kq has its step-j ancestor K/V in physical row
     b*K + kv (and j <= t)". Layer-independent — computed once per step.
     ``anc`` holds flat row indices LOCAL to this group of b*k rows."""
     n = anc.shape[1]
     anc_b = anc.reshape(b, k_beams, n)
     row_of = (jnp.arange(b, dtype=anc.dtype) * k_beams)[:, None, None, None] + \
-        jnp.arange(k_beams, dtype=anc.dtype)[None, None, :, None]       # [B,1,Kv,1]
-    sel = (anc_b[:, :, None, :] == row_of) & \
-        (jnp.arange(n, dtype=jnp.int32)[None, None, None, :] <= t)      # [B,Kq,Kv,N]
-    return sel[:, :, None, :, :]                                        # [B,Kq,1,Kv,N]
+        jnp.arange(k_beams, dtype=anc.dtype)[None, None, None, :]       # [B,1,1,Kv]
+    sel = (anc_b[:, :, :, None] == row_of) & \
+        (jnp.arange(n, dtype=jnp.int32)[None, None, :, None] <= t)      # [B,Kq,N,Kv]
+    return sel
+
+
+def head_block_mask(cfg: GPT2Config) -> jax.Array:
+    """[nh, H] 0/1 mask: row h is 1 exactly on head h's H-slice. The
+    head-blocked attention multiplies queries by this so per-head dot
+    products ride a SINGLE H=768 contraction (zeros kill the cross-head
+    terms exactly) — no per-head [.., nh, hd] tensors, whose (12, 64) minor
+    dims tile-pad to (16, 128) and forced relayout copies around every
+    einsum of the decode step (hlo_stats, v5e)."""
+    h_of = jnp.arange(cfg.n_embd, dtype=jnp.int32) // cfg.head_dim
+    return (h_of[None, :] == jnp.arange(cfg.n_head, dtype=jnp.int32)[:, None])
 
 
 def _beam_attend(
-    q: jax.Array,               # [R, nh, hd] — this group's query rows (R = B*K)
-    pk: jax.Array,              # [B, S0, nh, hd] — one layer's prefill K
-    pv: jax.Array,              # [B, S0, nh, hd] — one layer's prefill V
-    gk: jax.Array,              # [N, R, nh, hd] — one layer's gen K (TIME-major)
-    gv: jax.Array,              # [N, R, nh, hd] — one layer's gen V
+    q: jax.Array,               # [R, H] — this group's query rows (R = B*K)
+    pk: jax.Array,              # [B, S0, H] — one layer's prefill K (heads merged)
+    pv: jax.Array,              # [B, S0, H] — one layer's prefill V
+    gk: jax.Array,              # [N, R, H] — one layer's gen K (TIME-major)
+    gv: jax.Array,              # [N, R, H] — one layer's gen V
     prefill_valid: jax.Array,   # [B, S0]
-    sel: jax.Array,             # [B,Kq,1,Kv,N] ancestry mask (ancestry_mask)
+    sel: jax.Array,             # [B,Kq,N,Kv] ancestry mask (ancestry_mask)
+    hmask: jax.Array,           # [nh, H] head_block_mask
     k_beams: int,
     cfg: GPT2Config,
 ) -> jax.Array:
-    """Split-cache attention of one beam group: prefill part shared per video,
-    generated part dense over the video's K physical rows with the ancestry
-    one-hot masking non-ancestors to -inf (gpt2_beam_step docstring).
-    Returns the pre-projection attention output [R, H]."""
+    """Split-cache attention of one beam group in HEAD-BLOCKED form: queries
+    are expanded to [B, K*nh, H] rows that are zero outside their own head's
+    H-slice, so every logit/AV contraction runs over the full merged H with
+    bit-zero cross-head terms. All matmul operands keep (rows, H) minor dims
+    — full (8,128) tiles, no per-head reshapes of the caches. The prefill
+    part is shared per video; the generated part is dense over the video's
+    K physical rows with the ancestry one-hot masking non-ancestors to -inf
+    (gpt2_beam_step docstring). Returns the attention output [R, H]."""
     dt = cfg.dtype
     r = q.shape[0]
     b, s0 = prefill_valid.shape
     n = gk.shape[0]
+    nh = cfg.n_head
     scale = cfg.head_dim ** -0.5
 
-    qb = q.reshape(b, k_beams, cfg.n_head, cfg.head_dim)
-    lp_ = jnp.einsum("bkhd,bshd->bkhs", qb, pk.astype(dt),
-                     preferred_element_type=jnp.float32) * scale        # [B,K,nh,S0]
-    lp_ = jnp.where(prefill_valid[:, None, None, :] > 0, lp_, jnp.float32(-1e30))
-    lp_ = lp_.reshape(r, cfg.n_head, s0)
+    qb = q.reshape(b, k_beams, 1, cfg.n_embd)
+    q_blk = (qb * hmask.astype(dt)[None, None]).reshape(b, k_beams * nh, cfg.n_embd)
 
-    gkb = gk.reshape(n, b, k_beams, cfg.n_head, cfg.head_dim)
-    gvb = gv.reshape(n, b, k_beams, cfg.n_head, cfg.head_dim)
-    lg = jnp.einsum("bqhd,nbkhd->bqhkn", qb, gkb.astype(dt),
-                    preferred_element_type=jnp.float32) * scale         # [B,Kq,nh,Kv,N]
-    lg = jnp.where(sel, lg, jnp.float32(-1e30))
-    lg = lg.reshape(r, cfg.n_head, k_beams * n)
+    lp_ = jnp.einsum("bqh,bsh->bqs", q_blk, pk.astype(dt),
+                     preferred_element_type=jnp.float32) * scale       # [B,K*nh,S0]
+    lp_ = jnp.where(prefill_valid[:, None, :] > 0, lp_, jnp.float32(-1e30))
+
+    gkb = gk.reshape(n, b, k_beams, cfg.n_embd)
+    gvb = gv.reshape(n, b, k_beams, cfg.n_embd)
+    lg = jnp.einsum("bqh,nbkh->bqnk", q_blk, gkb.astype(dt),
+                    preferred_element_type=jnp.float32) * scale        # [B,K*nh,N,Kv]
+    lg = lg.reshape(b, k_beams, nh, n, k_beams)
+    lg = jnp.where(sel[:, :, None, :, :], lg, jnp.float32(-1e30))
+    lg = lg.reshape(b, k_beams * nh, n * k_beams)
 
     attn = jax.nn.softmax(jnp.concatenate([lp_, lg], axis=-1), axis=-1).astype(dt)
     ap, ag = attn[..., :s0], attn[..., s0:]
-    out_p = jnp.einsum("bkhs,bshd->bkhd", ap.reshape(b, k_beams, cfg.n_head, s0),
-                       pv.astype(dt)).reshape(r, cfg.n_head, cfg.head_dim)
-    out_g = jnp.einsum("bqhkn,nbkhd->bqhd",
-                       ag.reshape(b, k_beams, cfg.n_head, k_beams, n),
-                       gvb.astype(dt)).reshape(r, cfg.n_head, cfg.head_dim)
-    return (out_p + out_g).reshape(r, cfg.n_embd)
+    out_p = jnp.einsum("bqs,bsh->bqh", ap, pv.astype(dt))              # [B,K*nh,H]
+    out_g = jnp.einsum("bqnk,nbkh->bqh", ag.reshape(b, k_beams * nh, n, k_beams),
+                       gvb.astype(dt))
+    res = (out_p + out_g).reshape(b, k_beams, nh, cfg.n_embd)
+    # keep only each row's own head block and re-merge heads
+    out = jnp.sum(res * hmask.astype(dt)[None, None], axis=2)          # [B,K,H]
+    return out.reshape(r, cfg.n_embd)
 
 
 def gpt2_beam_step(
     params: Params,
     token_embeds: jax.Array,    # [R, H] — one new token per beam row (R = B*K)
     positions: jax.Array,       # [R] int32 — absolute position ids
-    prefill_cache: Cache,       # {k,v: [L, B, S0, nh, hd]} — read-only, SHARED by beams
+    prefill_cache: Cache,       # {k,v: [L, B, S0, H]} — read-only, SHARED by beams
     prefill_valid: jax.Array,   # [B, S0] int32 — left-pad mask of the prompt
-    gen_cache: Cache,           # {k,v: [L, N, R, nh, hd]} TIME-major — append-only
+    gen_cache: Cache,           # {kv: [L, N, 2, R, H]} TIME-major — append-only
     anc: jax.Array,             # [R, N] int32 — physical gen-cache row per position
     t: jax.Array,               # scalar int32 — current decode step (gen column)
     num_beams: int,
@@ -424,8 +447,9 @@ def gpt2_beam_step(
     k_beams = num_beams
     x = token_embeds.astype(dt) + params["wpe"][positions].astype(dt)   # [R, H]
 
-    # ancestry one-hot, computed ONCE per step — it is layer-independent
+    # ancestry one-hot + head-block mask, computed ONCE per step
     sel = ancestry_mask(anc, b, k_beams, t)
+    hmask = head_block_mask(cfg)
 
     # PYTHON-UNROLLED layer loop (same rationale as gpt2_forward's decode
     # branch): the layer-scan form re-stacked the [L,R,N,H] gen caches every
@@ -437,23 +461,23 @@ def gpt2_beam_step(
     # read is a clean static slice — the earlier interleaved layout cost
     # ~200us per write plus a per-step layout-transposing copy of the whole
     # prefill cache (hlo_stats trace, v5e bs=64).
-    gkv_all = gen_cache["kv"]                           # [L,N,2,R,nh,hd]
-    pk_all, pv_all = prefill_cache["k"], prefill_cache["v"]  # [L,B,S0,nh,hd]
+    gkv_all = gen_cache["kv"]                           # [L,N,2,R,H]
+    pk_all, pv_all = prefill_cache["k"], prefill_cache["v"]  # [L,B,S0,H]
     for layer in range(cfg.n_layer):
         blk = jax.tree.map(lambda a, _l=layer: a[_l], params["blocks"])
         a_in = _layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
         qkv = a_in @ block_weight(blk, "attn_w", dt) + blk["attn_b"].astype(dt)
-        qkv = qkv.reshape(r, 3, cfg.n_head, cfg.head_dim)
-        q = qkv[:, 0]                                                   # [R, nh, hd]
+        qkv = qkv.reshape(r, 3, h)
+        q = qkv[:, 0]                                                   # [R, H]
 
-        kv_new = jnp.swapaxes(qkv[:, 1:3], 0, 1)        # [2, R, nh, hd]
+        kv_new = jnp.swapaxes(qkv[:, 1:3], 0, 1)        # [2, R, H]
         gkv_all = jax.lax.dynamic_update_slice(
             gkv_all, kv_new.astype(gkv_all.dtype)[None, None],
-            (layer, t, 0, 0, 0, 0))
+            (layer, t, 0, 0, 0))
 
         out = _beam_attend(q, pk_all[layer], pv_all[layer],
                            gkv_all[layer, :, 0], gkv_all[layer, :, 1],
-                           prefill_valid, sel, k_beams, cfg)
+                           prefill_valid, sel, hmask, k_beams, cfg)
         out = out @ block_weight(blk, "proj_w", dt) + blk["proj_b"].astype(dt)
         x = x + out
 
