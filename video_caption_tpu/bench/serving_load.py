@@ -26,15 +26,14 @@ from typing import List
 log = logging.getLogger(__name__)
 
 
-def run_load(
-    frames_dir: str, qps: float, duration_s: float, port: int = 0,
-    num_frames: int = 16, max_batch: int = 8,
-) -> dict:
+def _boot_server(frames_dir: str, num_frames: int = 16, max_batch: int = 8,
+                 port: int = 0):
+    """Build + warm the serving stack once (engine, every batch bucket, HTTP
+    server); returns (config, srv, url, payload) for one or many load runs."""
     from video_caption_tpu.config import serving_inference_config
     from video_caption_tpu.server.services.model_registry import MODEL_REGISTRY
     from video_caption_tpu.server.stdlib_server import StdlibServer
 
-    # pre-build + warm the engine so load numbers exclude compilation.
     # serving workload = the reference SERVING presets incl. the heavier
     # "detailed" preset2 (backend_config.py:61-64), not the core default
     config = serving_inference_config(num_frames=num_frames)
@@ -49,6 +48,20 @@ def run_load(
     srv = StdlibServer("127.0.0.1", port).start()
     url = f"http://127.0.0.1:{srv.port}/api/v1/infer"
     payload = json.dumps({"frames_dir": frames_dir, "num_frames": num_frames}).encode()
+    return config, srv, url, payload
+
+
+def run_load(
+    frames_dir: str, qps: float, duration_s: float, port: int = 0,
+    num_frames: int = 16, max_batch: int = 8, _booted=None,
+) -> dict:
+    if _booted is None:
+        config, srv, url, payload = _boot_server(
+            frames_dir, num_frames, max_batch, port)
+        own_server = True
+    else:
+        config, srv, url, payload = _booted
+        own_server = False
 
     latencies: List[float] = []
     errors: List[str] = []
@@ -85,7 +98,8 @@ def run_load(
     for t in threads:
         t.join(timeout=180)
     wall = time.perf_counter() - start
-    srv.stop()
+    if own_server:
+        srv.stop()
 
     try:  # name the serving assembly the numbers came through (VERDICT r1 #9)
         import fastapi  # noqa: F401
@@ -113,6 +127,55 @@ def run_load(
     return result
 
 
+def run_sweep(
+    frames_dir: str, qps_levels=None, duration_s: float = 25.0,
+    num_frames: int = 16, max_batch: int = 8,
+    p99_limit_ms: float = 2000.0, achieved_ratio: float = 0.97,
+) -> dict:
+    """Offered-QPS sweep to the saturation knee (VERDICT r2 #5).
+
+    Climbs offered QPS over one warmed server until either achieved QPS
+    falls below ``achieved_ratio`` x offered (queue can't keep up) or p99
+    exceeds ``p99_limit_ms`` (latency knee) — then stops. "Max sustainable"
+    is the last level that passed both gates. One extra level past the knee
+    is kept in the curve so the degradation shape is visible.
+
+    The reference's serving design saturates at ~1 QPS by construction (a
+    single-request semaphore around the model, server/app.py); this measures
+    the actual coalescing-queue scheduler's capacity.
+    """
+    booted = _boot_server(frames_dir, num_frames, max_batch)
+    if qps_levels is None:
+        qps_levels = [8, 12, 16, 20, 24, 28, 32, 40, 48, 64]
+    curve, max_ok = [], None
+    try:
+        for q in qps_levels:
+            r = run_load(frames_dir, q, duration_s, num_frames=num_frames,
+                         _booted=booted)
+            ok = (r["errors"] == 0
+                  and r["achieved_qps"] >= achieved_ratio * q
+                  and (r["latency_ms"]["p99"] or 1e9) <= p99_limit_ms)
+            r["sustained"] = ok
+            curve.append(r)
+            log.info("qps %s -> achieved %.2f p50 %s p99 %s %s", q,
+                     r["achieved_qps"], r["latency_ms"]["p50"],
+                     r["latency_ms"]["p99"], "OK" if ok else "KNEE")
+            if ok:
+                max_ok = r
+            else:
+                break   # knee found; curve keeps this degraded level
+    finally:
+        booted[1].stop()
+    return {
+        "workload_presets": curve[0]["workload_presets"] if curve else None,
+        "duration_s_per_level": duration_s,
+        "gates": {"p99_limit_ms": p99_limit_ms, "achieved_ratio": achieved_ratio},
+        "max_sustainable_qps": max_ok["offered_qps"] if max_ok else 0,
+        "at_max": {k: max_ok[k] for k in ("achieved_qps", "latency_ms")} if max_ok else None,
+        "curve": curve,
+    }
+
+
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, force=True)
     p = argparse.ArgumentParser()
@@ -120,6 +183,8 @@ def main(argv=None) -> int:
     p.add_argument("--qps", type=float, default=8.0)
     p.add_argument("--duration", type=float, default=20.0)
     p.add_argument("--num_frames", type=int, default=16)
+    p.add_argument("--sweep", action="store_true",
+                   help="offered-QPS sweep to the saturation knee")
     p.add_argument("--out", default="reports/serving_load.json")
     args = p.parse_args(argv)
 
@@ -128,7 +193,13 @@ def main(argv=None) -> int:
         from video_caption_tpu.bench.benchmark import _make_synth_frames
 
         frames = _make_synth_frames()
-    result = run_load(frames, args.qps, args.duration, num_frames=args.num_frames)
+    if args.sweep:
+        if args.out == "reports/serving_load.json":
+            args.out = "reports/serving_load_sweep.json"
+        result = run_sweep(frames, duration_s=args.duration,
+                           num_frames=args.num_frames)
+    else:
+        result = run_load(frames, args.qps, args.duration, num_frames=args.num_frames)
     print(json.dumps(result, indent=1))
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)

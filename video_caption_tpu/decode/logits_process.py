@@ -114,9 +114,12 @@ def exact_topk(scores: jax.Array, k: int, window: int = 0):
     if k >= v:
         return jax.lax.top_k(scores, v)
     if window <= 0:
-        # the final [B, k*window] top_k dominates for large k: wider windows
-        # shrink the window-max sort, v5e-measured crossover near k ~ 50
-        window = 128 if k >= 50 else 64
+        # 128 = one full lane tile: 64-wide windows make the [B,nwin,64]
+        # window view tile-misaligned, forcing a column-major relayout copy
+        # of the whole padded buffer per step (copy 5.4 ms/iter at
+        # [384,50304] in the beam program, hlo_stats v5e) that outweighs
+        # the smaller final sort
+        window = 128
     nwin = -(-v // window)
     pad = nwin * window - v
     if pad:

@@ -394,8 +394,18 @@ def _beam_attend(
     attn = jax.nn.softmax(jnp.concatenate([lp_, lg], axis=-1), axis=-1).astype(dt)
     ap, ag = attn[..., :s0], attn[..., s0:]
     out_p = jnp.einsum("bqs,bsh->bqh", ap, pv.astype(dt))              # [B,K*nh,H]
-    out_g = jnp.einsum("bqnk,nbkh->bqh", ag.reshape(b, k_beams * nh, n, k_beams),
-                       gvb.astype(dt))
+    # AV over the gen region as an N-BATCHED dot + reduce, NOT one joint
+    # (n,k) contraction: the joint form makes XLA want the gen cache laid
+    # out with N second-minor ({4,1,3,2,0}), which turns every per-step
+    # cache write into a one-sublane read-modify-write of 4608 tiles
+    # (72 us x 12 layers x 24 steps = 21 ms/iter of DUS self-time,
+    # hlo_stats v5e bs=64). Batching the dot over N keeps the contraction
+    # on K alone, so the cache's preferred layout stays (R, H)-minor and
+    # the step's slab write covers whole (8,128) tiles.
+    agn = ag.reshape(b, k_beams * nh, n, k_beams).transpose(2, 0, 1, 3)  # [N,B,Q,K]
+    per_n = jnp.einsum("nbqk,nbkh->nbqh", agn, gvb.astype(dt),
+                       preferred_element_type=jnp.float32)               # batch (n,b)
+    out_g = per_n.sum(axis=0).astype(out_p.dtype)
     res = (out_p + out_g).reshape(b, k_beams, nh, cfg.n_embd)
     # keep only each row's own head block and re-merge heads
     out = jnp.sum(res * hmask.astype(dt)[None, None], axis=2)          # [B,K,H]
