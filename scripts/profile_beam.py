@@ -1,0 +1,84 @@
+"""Capture an hlo_stats profile of the beam decode program at production batch.
+
+Usage: python scripts/profile_beam.py [batch] [out_csv]
+Writes top self-time ops to stdout + full hlo_stats CSV to /tmp/hlo_stats.csv.
+"""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+out_csv = sys.argv[2] if len(sys.argv) > 2 else "/tmp/hlo_stats.csv"
+stage = sys.argv[3] if len(sys.argv) > 3 else "beam"
+
+from video_caption_tpu.config import default_inference_config
+from video_caption_tpu.engine import InferenceEngine
+
+cfg = default_inference_config(ckpt="none.pt", num_frames=16)
+eng = InferenceEngine(cfg)
+
+video = jnp.asarray(np.random.RandomState(0).randint(
+    0, 255, (batch, cfg.num_frames, 3, cfg.image_size, cfg.image_size), np.uint8))
+jax.block_until_ready(video)
+prefix = eng._prefix_fn(eng.params, video)
+jax.block_until_ready(prefix)
+
+_, group_list, _ = eng._fused_infer_program()
+if stage == "beam":
+    dp, idxs, ids_arr, mask_arr = group_list[0]
+else:
+    dp, idxs, ids_arr, mask_arr = group_list[-1]
+print("profiling group:", dp, "rows:", len(idxs))
+key = jax.random.PRNGKey(0)
+
+# warm (compile)
+out = eng.run_decode_group(prefix, dp, ids_arr, mask_arr, key)
+np.asarray(out.ravel()[:1])
+
+import time
+
+trace_dir = "/tmp/beam_trace"
+with jax.profiler.trace(trace_dir):
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = eng.run_decode_group(prefix, dp, ids_arr, mask_arr, key)
+        np.asarray(out.ravel()[:1])
+        print("iter %.1f ms" % ((time.perf_counter() - t0) * 1e3))
+
+import glob
+
+from xprof.convert import raw_to_tool_data as rtd
+
+paths = glob.glob(trace_dir + "/**/*.xplane.pb", recursive=True)
+print("xplane:", paths)
+data, ctype = rtd.xspace_to_tool_data([paths[-1]], "hlo_stats", {})
+if isinstance(data, bytes):
+    data = data.decode()
+with open(out_csv, "w") as f:
+    f.write(data)
+print("wrote", out_csv)
+
+# quick top-20 by self time
+import csv
+import io
+
+rows = list(csv.DictReader(io.StringIO(data)))
+key_col = None
+for cand in ("Total Self Time (us)", "total_self_time_us", "Self time (us)"):
+    if rows and cand in rows[0]:
+        key_col = cand
+        break
+if key_col is None and rows:
+    print("columns:", list(rows[0].keys()))
+else:
+    rows.sort(key=lambda r: -float(r[key_col] or 0))
+    tot = sum(float(r[key_col] or 0) for r in rows)
+    print(f"total self time: {tot/1e3:.1f} ms over 3 iters")
+    for r in rows[:25]:
+        name = (r.get("HLO Op Name") or r.get("hlo_op_name") or "?")[:60]
+        cat = (r.get("HLO Op Category") or r.get("hlo_category") or "?")[:28]
+        exp = (r.get("HLO Op Expression") or r.get("hlo_op_expression") or "")[:140]
+        print(f"{float(r[key_col])/1e3:8.2f} ms  {cat:28s} {name}")
+        print(f"           {exp}")

@@ -99,6 +99,28 @@ def export_stablehlo(fn: Callable, args: Tuple, out_path: str) -> str:
     return str(path)
 
 
+def export_request_program(engine, out_path: str) -> str:
+    """Serialize the engine's fused single-video request program (the
+    program served by the AOT request path, engine._aot_single_exec) to a
+    portable StableHLO artifact — the "engine file" analog of the
+    reference's reserved TRT build path (core/trt/build_engine.py:2).
+    Reload via ``AotRuntime.load``/``run`` (compilation on load rides the
+    persistent XLA compile cache)."""
+    program, _, _ = engine._fused_infer_program()
+    c = engine.config
+    video = jnp.zeros((1, c.num_frames, 3, c.image_size, c.image_size), jnp.uint8)
+    key = jax.random.PRNGKey(0)
+    from jax import export as jexport
+
+    exported = jexport.export(program)(engine.params, video, key)
+    data = exported.serialize()
+    path = Path(out_path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(data)
+    log.info("exported request program: %d bytes to %s", len(data), path)
+    return str(path)
+
+
 class AotRuntime:
     """Loads and runs serialized programs (core/trt/runtime.py analog)."""
 

@@ -103,6 +103,12 @@ class CompileConfig:
     use_pallas_encoder_attention: bool = _env_bool("VIDEO_CAPTION_PALLAS_ATTN", True)
     """VMEM-resident single-pass encoder attention (5x the XLA schedule at
     production batch on v5e, bit-identical outputs; encoder_attention.py)."""
+    use_pallas_lm_head: bool = _env_bool("VIDEO_CAPTION_PALLAS_LM_HEAD", True)
+    """Fused LM-head + selection-statistics kernel in the decode step
+    (ops/pallas/lm_head.py)."""
+    use_pallas_beam_attention: bool = _env_bool("VIDEO_CAPTION_PALLAS_BEAM_ATTN", True)
+    """Beam decode attention custom call (ops/pallas/beam_attention.py) —
+    also the gen-cache layout anchor (GPT2Config docstring)."""
     use_pallas_decode_layer: bool = _env_bool("VIDEO_CAPTION_PALLAS_DECODE_LAYER", False)
     """Fused whole-layer decode kernel for the greedy/sampled step
     (ops/pallas/decode_layer.py). Auto-disabled under int8 quantization."""
@@ -127,6 +133,14 @@ class CompileConfig:
     """Weight-only int8 for the GPT-2 block matmuls (per-output-channel
     scales): halves decode HBM weight traffic vs bf16. Off by default —
     captions may deviate from the fp/bf16 reference tokens."""
+    aot_request_program: bool = _env_bool("VIDEO_CAPTION_AOT_REQUEST", True)
+    """Serve single-video requests through an ahead-of-time compiled
+    executable (aot.py — the XLA analog of the reference's reserved TRT
+    runtime, core/trt/runtime.py:6): the fused request program is lowered +
+    compiled ONCE at warmup and called directly, skipping the per-request
+    jit dispatch machinery (signature hashing, arg tree matching). The
+    serialized StableHLO artifact (the "engine file") can also be exported
+    via aot.export_request_program for inspection/portability."""
     unified_decode: bool = _env_bool("VIDEO_CAPTION_UNIFIED_DECODE", False)
     """Decode EVERY policy group of a request batch in one compiled program
     (decode/unified.py, SURVEY §7 hard part 6): the per-step GPT-2 weight

@@ -70,10 +70,11 @@ def _candidate_path_ok(dp: DecodeParams) -> bool:
     return dp.repetition_penalty >= 1.0
 
 
-def _topk_processed(last_scores, generated, t, k, dp: DecodeParams):
+def _topk_processed(last_scores, generated, t, k, dp: DecodeParams, wmax=None):
     return lp.topk_processed(
         last_scores, generated, t, k,
         dp.repetition_penalty, dp.no_repeat_ngram_size, dp.min_new_tokens, dp.eos_id,
+        wmax=wmax,
     )
 
 
@@ -84,13 +85,19 @@ def _prefill(
     max_len: int,
     prefill_mask: Optional[jax.Array] = None,   # [B, S0]; 1 = real token
     cache_layout: str = "auto",
+    wte_t: Optional[jax.Array] = None,          # [H, Vp] transposed LM head
+    return_stats: bool = False,                 # first slot becomes the
+                                                # lm_stats 4-tuple (2-D logits)
+    row_stats: bool = True,
 ) -> Tuple[jax.Array, g2.Cache, jax.Array, jax.Array]:
     """Run the prompt through the model.
 
     ``prefill_mask`` enables LEFT-padded batching of prompts with different
     lengths (the multi-preset engine path): pad columns are excluded from
     attention and position ids count only real tokens. Returns
-    (last-token logits, cache, valid, row_lengths)."""
+    (last-token logits, cache, valid, row_lengths). When ``wte_t`` is given
+    the logits are [B, Vp] row-major with -inf pad columns and the LM head
+    runs on the LAST position only (g2.lm_head_t docstring)."""
     b, s0, _ = inputs_embeds.shape
     split = cache_layout == "split"
     cache = g2.init_cache(gpt2_cfg, b, max_len,
@@ -103,7 +110,9 @@ def _prefill(
     valid = jax.lax.dynamic_update_slice(valid, mask, (0, 0))
     positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0).astype(jnp.int32)
     logits, cache = g2.gpt2_forward(
-        gpt2_params, inputs_embeds, positions, valid, cache, jnp.int32(0), gpt2_cfg
+        gpt2_params, inputs_embeds, positions, valid, cache, jnp.int32(0), gpt2_cfg,
+        wte_t=wte_t, last_only=wte_t is not None, return_stats=return_stats,
+        row_stats=row_stats,
     )
     if split:
         # repack ONCE into contiguous per-tensor K/V with the head dims
@@ -115,6 +124,8 @@ def _prefill(
         cache = {"k": kv[:, :, :, 0].reshape(l, bb, s, nh * hd),
                  "v": kv[:, :, :, 1].reshape(l, bb, s, nh * hd)}
     row_lengths = jnp.sum(mask, axis=1).astype(jnp.int32)
+    if return_stats:
+        return logits, cache, valid, row_lengths   # lm_stats 4-tuple
     return logits[:, -1, :], cache, valid, row_lengths
 
 
@@ -125,6 +136,7 @@ def sample_select(
     t: jax.Array,             # scalar int32
     dp: DecodeParams,
     rng: jax.Array,
+    wmax: jax.Array = None,   # [B, V/128] precomputed window maxima (lm_stats)
 ):
     """One greedy/sampled token-selection step (the non-forward half of
     ``greedy_or_sample``'s scan body, shared with the unified mixed-policy
@@ -136,11 +148,12 @@ def sample_select(
         # values — no [B,V] scatter passes (lp.topk_processed docstring)
         if dp.do_sample:
             rng, sub = jax.random.split(rng)
-            vals, idxs = _topk_processed(last_logits, generated, t, dp.top_k, dp)
+            vals, idxs = _topk_processed(last_logits, generated, t, dp.top_k, dp,
+                                         wmax=wmax)
             vals = lp.apply_temperature(vals, dp.temperature)
             token = lp.sample_sorted_top_p(sub, vals, idxs, dp.top_p)
         else:
-            _, idxs = _topk_processed(last_logits, generated, t, 1, dp)
+            _, idxs = _topk_processed(last_logits, generated, t, 1, dp, wmax=wmax)
             token = idxs[:, 0]
     else:
         logits = _process_logits(last_logits, generated, t, dp)
@@ -180,8 +193,13 @@ def greedy_or_sample(
         # one-time compute-dtype weight cast for the fused-step kernel path
         # (must stay OUTSIDE the scan; g2.prepare_decode_params docstring)
         gpt2_params = g2.prepare_decode_params(gpt2_params, gpt2_cfg)
-    last_logits, cache, valid, row_len = _prefill(
-        gpt2_params, gpt2_cfg, inputs_embeds, max_len, prefill_mask
+    # transposed+padded LM head, hoisted out of the scan (loop-invariant);
+    # the forward returns (logits, wmax, ...) so the selection's first
+    # top-k stage is fused with the LM head (g2.lm_stats)
+    wte_t = g2.lm_head_t(gpt2_params, gpt2_cfg)
+    (last_logits, last_wmax, _, _), cache, valid, row_len = _prefill(
+        gpt2_params, gpt2_cfg, inputs_embeds, max_len, prefill_mask, wte_t=wte_t,
+        return_stats=True, row_stats=False,
     )
     generated = jnp.full((b, n), dp.eos_id, jnp.int32)
     finished = jnp.zeros((b,), bool)
@@ -189,9 +207,9 @@ def greedy_or_sample(
         rng = jax.random.PRNGKey(0)
 
     def step(carry, t):
-        last_logits, cache, valid, generated, finished, rng = carry
+        last_logits, last_wmax, cache, valid, generated, finished, rng = carry
         token, generated, finished, rng = sample_select(
-            last_logits, generated, finished, t, dp, rng
+            last_logits, generated, finished, t, dp, rng, wmax=last_wmax
         )
 
         # feed the token back for the next step's logits; position ids count
@@ -199,17 +217,18 @@ def greedy_or_sample(
         embeds = gpt2_params["wte"][token][:, None, :]
         positions = (row_len + t)[:, None]
         valid = jax.lax.dynamic_update_slice(valid, jnp.ones((b, 1), jnp.int32), (0, s0 + t))
-        logits_new, cache = g2.gpt2_forward(
-            gpt2_params, embeds, positions, valid, cache, s0 + t, gpt2_cfg
+        (logits_new, wmax_new, _, _), cache = g2.gpt2_forward(
+            gpt2_params, embeds, positions, valid, cache, s0 + t, gpt2_cfg,
+            wte_t=wte_t, return_stats=True, row_stats=False,
         )
-        return (logits_new[:, -1, :], cache, valid, generated, finished, rng), None
+        return (logits_new, wmax_new, cache, valid, generated, finished, rng), None
 
-    carry = (last_logits, cache, valid, generated, finished, rng)
+    carry = (last_logits, last_wmax, cache, valid, generated, finished, rng)
     if dp.early_stop:
         # while_loop exits once every row finished (per-sample finished-mask
         # semantics of benchmark_baseline.py:212-224 plus a whole-batch stop)
         def cond(state):
-            t, (_, _, _, _, fin, _) = state
+            t, (_, _, _, _, _, fin, _) = state
             return (t < n) & ~jnp.all(fin)
 
         def body(state):
@@ -220,7 +239,7 @@ def greedy_or_sample(
         _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
     else:
         carry, _ = jax.lax.scan(step, carry, jnp.arange(n, dtype=jnp.int32))
-    return carry[3]
+    return carry[4]
 
 
 def beam_select(
@@ -232,6 +251,9 @@ def beam_select(
     t: jax.Array,             # scalar int32
     dp: DecodeParams,
     k: int,
+    stats=None,               # optional (wmax [B*K, V/128], m [B*K], l [B*K])
+                              # from g2.lm_stats — skips the in-loop row
+                              # max / sum-exp / window-max recomputation
 ):
     """One beam-search selection step (the non-forward half of
     ``beam_search``'s scan body, shared with the unified mixed-policy
@@ -253,12 +275,17 @@ def beam_select(
         # Ranking runs on RAW logits; only the candidates are converted to
         # log-softmax values (bit-identical — topk_processed docstring).
         lx = last_logits.astype(jnp.float32)
-        m = jnp.max(lx, axis=-1)
-        ls = jnp.log(jnp.sum(jnp.exp(lx - m[:, None]), axis=-1))
+        if stats is not None:
+            wmax, m, l = stats
+            ls = jnp.log(l)
+        else:
+            wmax = None
+            m = jnp.max(lx, axis=-1)
+            ls = jnp.log(jnp.sum(jnp.exp(lx - m[:, None]), axis=-1))
         row_vals, row_idx = lp.topk_processed(
             lx, flat_gen, t, 2 * k,
             dp.repetition_penalty, dp.no_repeat_ngram_size, dp.min_new_tokens,
-            dp.eos_id, shift_max=m, shift_logsum=ls,
+            dp.eos_id, shift_max=m, shift_logsum=ls, wmax=wmax,
         )
         cand = beam_scores.reshape(b * k, 1) + row_vals       # [B*K, 2K]
         cand = cand.reshape(b, k * 2 * k)
@@ -343,11 +370,16 @@ def beam_search(
     # cache: g2.gpt2_beam_step docstring explains why this replaces the
     # classic gather-the-cache-by-parent step). Beam search always uses the
     # split K/V layouts (gpt2_beam_step's dense-masked attention).
-    last_logits, prefill_cache, prefill_valid, row_len = _prefill(
-        gpt2_params, gpt2_cfg, inputs_embeds, s0, prefill_mask,
-        cache_layout="split",
-    )
+    wte_t = g2.lm_head_t(gpt2_params, gpt2_cfg)   # hoisted out of the scan
+    (last_logits, last_wmax, last_m, last_l), prefill_cache, prefill_valid, \
+        row_len = _prefill(
+            gpt2_params, gpt2_cfg, inputs_embeds, s0, prefill_mask,
+            cache_layout="split", wte_t=wte_t, return_stats=True,
+        )
     last_logits = jnp.repeat(last_logits, k, axis=0)    # [R, V]
+    last_wmax = jnp.repeat(last_wmax, k, axis=0)
+    last_m = jnp.repeat(last_m, k, axis=0)
+    last_l = jnp.repeat(last_l, k, axis=0)
     row_len_flat = jnp.repeat(row_len, k, axis=0)       # [R]
 
     gen_cache = g2.init_cache(gpt2_cfg, r, n, layout="beam_gen")  # {kv: [L,N,2,R,H]}
@@ -359,26 +391,29 @@ def beam_search(
     fin_seqs = jnp.full((b, k, n), dp.eos_id, jnp.int32)
 
     def step(carry, t):
-        last_logits, gen_cache, anc, beam_scores, generated, fin_scores, fin_seqs = carry
+        (last_logits, last_wmax, last_m, last_l), gen_cache, anc, \
+            beam_scores, generated, fin_scores, fin_seqs = carry
         new_token, flat_parent, new_scores, new_gen, new_fin_scores, new_fin_seqs = \
-            beam_select(last_logits, beam_scores, generated, fin_scores, fin_seqs, t, dp, k)
+            beam_select(last_logits, beam_scores, generated, fin_scores, fin_seqs,
+                        t, dp, k, stats=(last_wmax, last_m, last_l))
         anc = anc[flat_parent]
         anc = anc.at[:, t].set(jnp.arange(r, dtype=jnp.int32))
 
         # next-step logits; position ids count only real tokens per row
         embeds = gpt2_params["wte"][new_token.reshape(-1)]
         positions = row_len_flat + t
-        logits_new, gen_cache = g2.gpt2_beam_step(
+        stats_new, gen_cache = g2.gpt2_beam_step(
             gpt2_params, embeds, positions, prefill_cache, prefill_valid,
-            gen_cache, anc, t, k, gpt2_cfg,
+            gen_cache, anc, t, k, gpt2_cfg, wte_t=wte_t, return_stats=True,
         )
         carry = (
-            logits_new, gen_cache, anc, new_scores, new_gen,
+            stats_new, gen_cache, anc, new_scores, new_gen,
             new_fin_scores, new_fin_seqs,
         )
         return carry, None
 
-    carry = (last_logits, gen_cache, anc, beam_scores, generated, fin_scores, fin_seqs)
+    carry = ((last_logits, last_wmax, last_m, last_l), gen_cache, anc,
+             beam_scores, generated, fin_scores, fin_seqs)
     if dp.early_stop:
         # HF is_done (early_stopping=False): a batch is done when its K
         # finished hypotheses all beat the best running beam's attainable

@@ -88,7 +88,8 @@ def apply_no_repeat_ngram(
     return logits.at[rows, ban_idx].set(jnp.float32(-jnp.inf), mode="drop")
 
 
-def exact_topk(scores: jax.Array, k: int, window: int = 0):
+def exact_topk(scores: jax.Array, k: int, window: int = 0,
+               wmax: jax.Array = None):
     """Exact top-k over the vocab axis via a two-stage windowed reduction:
     per-window max -> top-k windows -> top-k within the gathered window
     contents. Returns (vals [B,k], idxs [B,k]) descending.
@@ -113,6 +114,20 @@ def exact_topk(scores: jax.Array, k: int, window: int = 0):
     b, v = scores.shape
     if k >= v:
         return jax.lax.top_k(scores, v)
+    if wmax is not None:
+        # precomputed window maxima (the lm-head kernel emits them while the
+        # logits chunk is in VMEM — ops/pallas/lm_head.py); scores must
+        # already be an exact multiple of the window with -inf pads
+        nwin = wmax.shape[1]
+        window = v // nwin
+        assert nwin * window == v, (v, nwin)
+        sw = scores.reshape(b, nwin, window)
+        kw = min(k, nwin)
+        _, widx = jax.lax.top_k(wmax, kw)
+        cand = jnp.take_along_axis(sw, widx[:, :, None], axis=1)
+        vals, ci = _topk_flat(cand.reshape(b, kw * window), k)
+        idxs = jnp.take_along_axis(widx, ci // window, axis=1) * window + ci % window
+        return vals, idxs
     if window <= 0:
         # 128 = one full lane tile: 64-wide windows make the [B,nwin,64]
         # window view tile-misaligned, forcing a column-major relayout copy
@@ -139,8 +154,32 @@ def exact_topk(scores: jax.Array, k: int, window: int = 0):
     kw = min(k, nwin)
     _, widx = jax.lax.top_k(wmax, kw)                        # [B, kw]
     cand = jnp.take_along_axis(sw, widx[:, :, None], axis=1)  # [B, kw, w]
-    vals, ci = jax.lax.top_k(cand.reshape(b, kw * window), k)
+    # the flat candidate set [B, kw*window] can still be thousands wide —
+    # XLA's TopK custom call measured 743us/step at [384,3968]->31 (v5e
+    # hlo_stats) while each extra windowed stage is a handful of ~40us ops,
+    # so recurse with a narrow sub-window until the final sort is small
+    vals, ci = _topk_flat(cand.reshape(b, kw * window), k)
     idxs = jnp.take_along_axis(widx, ci // window, axis=1) * window + ci % window
+    return vals, idxs
+
+
+def _topk_flat(flat: jax.Array, k: int, sub: int = 8, small: int = 512):
+    """top-k of [B, M] via recursive windowed reduction (same exactness
+    argument as exact_topk: the true top-k lie in the top-k sub-windows by
+    max). Terminates at lax.top_k once M <= max(small, k*sub)."""
+    b, m = flat.shape
+    if m <= max(small, k * sub):
+        return jax.lax.top_k(flat, k)
+    nsub = -(-m // sub)
+    if nsub * sub != m:
+        flat = jnp.pad(flat, ((0, 0), (0, nsub * sub - m)),
+                       constant_values=jnp.float32(-jnp.inf))
+    fw = flat.reshape(b, nsub, sub)
+    smax = jnp.max(fw, axis=-1)                              # [B, nsub]
+    _, sidx = jax.lax.top_k(smax, k)                         # [B, k]
+    cand = jnp.take_along_axis(fw, sidx[:, :, None], axis=1)  # [B, k, sub]
+    vals, ci = jax.lax.top_k(cand.reshape(b, k * sub), k)
+    idxs = jnp.take_along_axis(sidx, ci // sub, axis=1) * sub + ci % sub
     return vals, idxs
 
 
@@ -155,6 +194,7 @@ def topk_processed(
     eos_id: int,
     shift_max: jax.Array = None,      # [B] optional log-softmax conversion:
     shift_logsum: jax.Array = None,   # vals := (vals - max) - logsum
+    wmax: jax.Array = None,           # [B, V/window] precomputed window maxima
 ):
     """Top-k of the processor-chain-modified scores WITHOUT materializing or
     scattering into [B, V]: returns (vals [B, k], idxs [B, k]) sorted by
@@ -196,7 +236,7 @@ def topk_processed(
     # (1.9 ms/step at [192, 50257]) and approx_max_k(recall=1.0)'s
     # PartialReduce custom call runs ~20x off roofline (2.2 ms/step at
     # [384, 50257]).
-    vals, idxs = exact_topk(scores, c)                       # [B,C] desc
+    vals, idxs = exact_topk(scores, c, wmax=wmax)            # [B,C] desc
     if shift_max is not None:
         # beam path: rank on RAW logits (log-softmax is monotone per row, so
         # candidate CONTAINMENT and order are unchanged), then convert only

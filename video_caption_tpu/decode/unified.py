@@ -85,9 +85,12 @@ def generate_unified(
     i_tot = sum(n_inst)
     r_tot = i_tot * k_max
 
-    # ONE prefill for every instance of every group (weights stream once)
+    # ONE prefill for every instance of every group (weights stream once);
+    # transposed+padded LM head hoisted out of the scan (g2.lm_head_t)
+    wte_t = g2.lm_head_t(gpt2_params, gpt2_cfg)
     last_inst, prefill_cache, prefill_valid, row_len = _prefill(
-        gpt2_params, gpt2_cfg, embeds, s0, pmask, cache_layout="split"
+        gpt2_params, gpt2_cfg, embeds, s0, pmask, cache_layout="split",
+        wte_t=wte_t,
     )
 
     # ---- uniform decode rows: instance i owns rows [i*K_max, (i+1)*K_max);
@@ -188,7 +191,7 @@ def generate_unified(
         positions = row_len_rows + t
         logits, new_cache = g2.gpt2_beam_step(
             gpt2_params, embeds, positions, prefill_cache, prefill_valid,
-            {"kv": gen_kv}, anc, t, k_max, gpt2_cfg,
+            {"kv": gen_kv}, anc, t, k_max, gpt2_cfg, wte_t=wte_t,
         )
         return (logits, new_cache["kv"], anc, tuple(new_states)), None
 

@@ -60,6 +60,8 @@ def model_config_from_inference(config: InferenceConfig) -> cm.CaptionModelConfi
         gpt2=g2.GPT2Config(
             dtype=dtype,
             use_pallas_decode=config.compile.use_pallas_decode_attention,
+            use_pallas_lm_head=config.compile.use_pallas_lm_head,
+            use_pallas_beam_attention=config.compile.use_pallas_beam_attention,
             use_pallas_decode_layer=(
                 config.compile.use_pallas_decode_layer
                 and not config.compile.quantize_decoder_int8  # kernel reads plain weights
@@ -430,6 +432,30 @@ class InferenceEngine:
         self._fused_program = (program, group_list, len(pairs))
         return self._fused_program
 
+    def _aot_single_exec(self, example_key):
+        """Build (lazily) the AOT-compiled executable of the fused
+        single-video request program — the serving analog of the reference's
+        reserved TRT runtime (core/trt/runtime.py:6, via aot.py).
+
+        ``lower().compile()`` pins the executable once; calling it directly
+        skips jax.jit's per-call dispatch (signature hashing + arg-tree
+        matching) on the hottest latency path. Falls back to the jit path
+        (returns None) if AOT compilation is unavailable on the backend.
+        """
+        if getattr(self, "_aot_single", None) is not None:
+            return self._aot_single or None   # False sentinel = build failed
+        program, _, _ = self._fused_infer_program()
+        c = self.config
+        video_s = jax.ShapeDtypeStruct(
+            (1, c.num_frames, 3, c.image_size, c.image_size), jnp.uint8)
+        try:
+            self._aot_single = program.lower(
+                self.params, video_s, example_key).compile()
+        except Exception as exc:   # backend without AOT support
+            log.warning("AOT single-request compile failed (%s); jit path", exc)
+            self._aot_single = False
+        return self._aot_single or None
+
     def _unified_eligible(self, group_list) -> bool:
         """The unified mixed-policy program replaces per-group programs when
         there are >= 2 policy groups and no incompatible experimental mode
@@ -459,7 +485,14 @@ class InferenceEngine:
             video.shape[0] == 1 and self.config.compile.fuse_single_request
         )
         if use_fused:
-            outs = program(self.params, video, sub)
+            aot = self._aot_single_exec(sub) if (
+                video.shape[0] == 1 and self.config.compile.aot_request_program
+                and self.mesh is None
+            ) else None
+            if aot is not None:
+                outs = aot(self.params, video, sub)
+            else:
+                outs = program(self.params, video, sub)
         elif self._unified_eligible(group_list):
             # prefix as its own async dispatch (pipelines with host work),
             # then ONE unified program decodes every policy group — the

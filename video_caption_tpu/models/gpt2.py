@@ -43,6 +43,17 @@ class GPT2Config:
     dtype: Any = jnp.bfloat16
     ln_eps: float = 1e-5
     use_pallas_decode: bool = False   # fused decode-step attention kernel
+    use_pallas_lm_head: bool = True
+    """Fused LM-head + selection-statistics kernel for the decode step
+    (ops/pallas/lm_head.py): logits, window maxima, row max and sum-exp in
+    one pass. Standard fallback contract off-TPU."""
+    use_pallas_beam_attention: bool = True
+    """Beam decode attention as a Pallas custom call
+    (ops/pallas/beam_attention.py). Besides fusing the masked split-cache
+    attention, the call PINS the gen-cache scan carry to the default
+    (R, H)-minor layout, turning the per-step K|V slab write into whole-tile
+    stores (the XLA einsum path pulls the carry to an N-sublane layout whose
+    writes are read-modify-writes — 21 ms of a 117 ms beam iteration)."""
     use_pallas_decode_layer: bool = False
     """Fused whole-layer decode kernel (ops/pallas/decode_layer.py): the
     single-token step runs each transformer layer as ONE Pallas program
@@ -124,6 +135,77 @@ def init_cache(cfg: GPT2Config, batch: int, max_len: int, dtype: Any = None,
             return {"kvf": jnp.zeros(flat, dtype)}
     shape = (cfg.n_layer, batch, max_len, 2, cfg.n_head, cfg.head_dim)
     return {"kv": jnp.zeros(shape, dtype)}
+
+
+def lm_head_t(params: Params, cfg: GPT2Config) -> jax.Array:
+    """Transposed + lane-padded LM head ``[H, Vp]`` (Vp = vocab rounded up to
+    a 128-lane multiple), cast to the compute dtype — computed ONCE outside
+    the decode scan and threaded into the per-step forward as a
+    loop-invariant operand.
+
+    Why: the in-scan ``einsum("rh,vh->rv", x, wte)`` made XLA produce the
+    per-step logits COLUMN-major ([384,50257]{0,1}, hlo_stats v5e bs=64),
+    and every selection op downstream then fought that layout — a pad to
+    50304 (103us), a [B,393,128] relayout copy (120us) and a 743us TopK
+    custom call per step, ~32 ms of the 127 ms beam iteration. The
+    ``[R,H] @ [H,Vp]`` form yields row-major logits and the pad columns are
+    masked to -inf in the matmul epilogue (fused), so selection reads the
+    buffer it was laid out for. Pad-column logits are -inf, which every
+    consumer treats as 'absent' (softmax weight exactly 0, never selected).
+    """
+    v = cfg.vocab_size
+    vp = -(-v // 128) * 128
+    if vp >= 4 * 1408:
+        # production vocabs round further to a 1408-lane multiple so the
+        # fused lm-head/stats kernel (ops/pallas/lm_head.py) gets an even
+        # chunk grid (50257 -> 50688 = 36 x 1408; +0.76% matmul FLOPs)
+        vp = -(-vp // 1408) * 1408
+    wte_t = params["wte"].astype(cfg.dtype).T          # [H, V]
+    if vp != v:
+        wte_t = jnp.pad(wte_t, ((0, 0), (0, vp - v)))
+    return wte_t
+
+
+def _lm_logits_t(x: jax.Array, wte_t: jax.Array, vocab_size: int) -> jax.Array:
+    """Row-major logits ``x @ wte_t`` with pad columns masked to -inf
+    (fuses into the matmul epilogue). x: [..., H] -> [..., Vp] fp32."""
+    logits = jnp.einsum("...h,hv->...v", x, wte_t,
+                        preferred_element_type=jnp.float32)
+    vp = wte_t.shape[1]
+    if vp == vocab_size:
+        return logits
+    col = jax.lax.broadcasted_iota(jnp.int32, (vp,), 0)
+    return jnp.where(col < vocab_size, logits, jnp.float32(-jnp.inf))
+
+
+def lm_stats(x2: jax.Array, wte_t: jax.Array, cfg: "GPT2Config",
+             need_row_stats: bool) -> Tuple:
+    """LM head + the selection statistics every decode step needs, computed
+    while the logits chunk is live in VMEM (ops/pallas/lm_head.py) — the
+    [R, Vp] buffer is written once and never re-read for reductions.
+
+    Returns (logits [R,Vp] f32 row-major w/ -inf pads, wmax [R,Vp/128],
+    m [R] | None, l [R] | None); m/l (row max, row sum-exp — the beam path's
+    log-softmax shift) are only computed when ``need_row_stats``.
+    XLA fallback computes identical values (modulo the kernel's online
+    sum-exp association for ``l`` — uniform per row, order-preserving).
+    """
+    if cfg.use_pallas_lm_head:
+        from video_caption_tpu.ops.pallas.lm_head import lm_head_stats
+
+        out = lm_head_stats(x2.astype(cfg.dtype), wte_t, cfg.vocab_size)
+        if out is not None:
+            logits, wmax, m, l = out
+            return logits, wmax, (m if need_row_stats else None), \
+                (l if need_row_stats else None)
+    logits = _lm_logits_t(x2, wte_t, cfg.vocab_size)
+    r, vp = logits.shape
+    wmax = jnp.max(logits.reshape(r, vp // 128, 128), axis=-1)
+    m = l = None
+    if need_row_stats:
+        m = jnp.max(logits, axis=-1)
+        l = jnp.sum(jnp.exp(logits - m[:, None]), axis=-1)
+    return logits, wmax, m, l
 
 
 def prepare_decode_params(params: Params, cfg: GPT2Config) -> Params:
@@ -230,6 +312,16 @@ def gpt2_forward(
     cache: Cache,
     offset: jax.Array,          # scalar int32 — cache write offset
     cfg: GPT2Config,
+    wte_t: jax.Array = None,    # [H, Vp] loop-invariant transposed LM head —
+                                # decode-scan callers pass it; logits are then
+                                # [B,S,Vp] row-major with -inf pad columns
+    last_only: bool = False,    # prefill: LM head on the LAST position only
+                                # (decode init needs just the next-token
+                                # logits; the full [B,S0,V] head is S0x the
+                                # matmul FLOPs for discarded rows)
+    return_stats: bool = False,  # return (lm_stats 4-tuple w/ 2-D logits,
+                                 # cache) instead of ([B,S,V] logits, cache)
+    row_stats: bool = True,      # with return_stats: also m/l (beam shift)
 ) -> Tuple[jax.Array, Cache]:
     """Unified prefill/decode forward. Returns (logits [B,S,V] fp32, new cache).
 
@@ -263,6 +355,11 @@ def gpt2_forward(
             )
             x = xb[:, None, :]
             x = _layer_norm(x, params["lnf_scale"], params["lnf_bias"], cfg.ln_eps)
+            if return_stats:
+                return lm_stats(x[:, -1, :], wte_t, cfg, need_row_stats=row_stats), \
+                    {"kvf": new_kvf}
+            if wte_t is not None:
+                return _lm_logits_t(x, wte_t, cfg.vocab_size), {"kvf": new_kvf}
             logits = jnp.einsum(
                 "bsh,vh->bsv", x, params["wte"].astype(dt),
                 preferred_element_type=jnp.float32,
@@ -275,7 +372,9 @@ def gpt2_forward(
             (cfg.n_layer, b, max_len, 2, cfg.n_head, cfg.head_dim),
             cache["kvf"].dtype)}
         logits, new_st = gpt2_forward(
-            params, inputs_embeds, positions, valid_mask, stacked, offset, cfg)
+            params, inputs_embeds, positions, valid_mask, stacked, offset, cfg,
+            wte_t=wte_t, last_only=last_only, return_stats=return_stats,
+            row_stats=row_stats)
         kvf = new_st["kv"].reshape(
             cfg.n_layer, b, max_len, 2 * cfg.n_embd).transpose(0, 2, 1, 3)
         return logits, {"kvf": kvf}
@@ -317,7 +416,14 @@ def gpt2_forward(
             return xv, kvc
 
         x, new_kv = jax.lax.scan(body, x, (params["blocks"], cache["kv"]))
+    if last_only and x.shape[1] > 1:
+        x = x[:, -1:, :]
     x = _layer_norm(x, params["lnf_scale"], params["lnf_bias"], cfg.ln_eps)
+    if return_stats:
+        return lm_stats(x[:, -1, :], wte_t, cfg, need_row_stats=row_stats), \
+            {"kv": new_kv}
+    if wte_t is not None:
+        return _lm_logits_t(x, wte_t, cfg.vocab_size), {"kv": new_kv}
     logits = jnp.einsum(
         "bsh,vh->bsv", x, params["wte"].astype(dt), preferred_element_type=jnp.float32
     )
@@ -423,6 +529,8 @@ def gpt2_beam_step(
     t: jax.Array,               # scalar int32 — current decode step (gen column)
     num_beams: int,
     cfg: GPT2Config,
+    wte_t: jax.Array = None,    # [H, Vp] loop-invariant transposed LM head
+    return_stats: bool = False,  # also return (wmax, m, l) — see lm_stats
 ) -> Tuple[jax.Array, Cache]:
     """Single beam-search decode step with a SPLIT KV cache.
 
@@ -457,9 +565,13 @@ def gpt2_beam_step(
     k_beams = num_beams
     x = token_embeds.astype(dt) + params["wpe"][positions].astype(dt)   # [R, H]
 
-    # ancestry one-hot + head-block mask, computed ONCE per step
-    sel = ancestry_mask(anc, b, k_beams, t)
+    # head-block mask (+ the ancestry one-hot, XLA path only), once per step
     hmask = head_block_mask(cfg)
+    sel = None
+    if cfg.use_pallas_beam_attention:
+        from video_caption_tpu.ops.pallas.beam_attention import beam_gen_attention
+    else:
+        beam_gen_attention = None
 
     # PYTHON-UNROLLED layer loop (same rationale as gpt2_forward's decode
     # branch): the layer-scan form re-stacked the [L,R,N,H] gen caches every
@@ -485,9 +597,17 @@ def gpt2_beam_step(
             gkv_all, kv_new.astype(gkv_all.dtype)[None, None],
             (layer, t, 0, 0, 0))
 
-        out = _beam_attend(q, pk_all[layer], pv_all[layer],
-                           gkv_all[layer, :, 0], gkv_all[layer, :, 1],
-                           prefill_valid, sel, hmask, k_beams, cfg)
+        out = None
+        if beam_gen_attention is not None:
+            out = beam_gen_attention(
+                q.astype(dt), gkv_all, pk_all, pv_all, prefill_valid, anc, t,
+                hmask.astype(dt), layer, k_beams, cfg.n_head)
+        if out is None:
+            if sel is None:
+                sel = ancestry_mask(anc, b, k_beams, t)
+            out = _beam_attend(q, pk_all[layer], pv_all[layer],
+                               gkv_all[layer, :, 0], gkv_all[layer, :, 1],
+                               prefill_valid, sel, hmask, k_beams, cfg)
         out = out @ block_weight(blk, "proj_w", dt) + blk["proj_b"].astype(dt)
         x = x + out
 
@@ -497,6 +617,11 @@ def gpt2_beam_step(
         m = m @ block_weight(blk, "out_w", dt) + blk["out_b"].astype(dt)
         x = x + m
     x = _layer_norm(x, params["lnf_scale"], params["lnf_bias"], cfg.ln_eps)
+    if return_stats:
+        return lm_stats(x, wte_t, cfg, need_row_stats=True), {"kv": gkv_all}
+    if wte_t is not None:
+        # row-major padded logits [R, Vp] (lm_head_t docstring)
+        return _lm_logits_t(x, wte_t, cfg.vocab_size), {"kv": gkv_all}
     logits = jnp.einsum(
         "rh,vh->rv", x, params["wte"].astype(dt), preferred_element_type=jnp.float32
     )
