@@ -86,17 +86,21 @@ def generate_unified(
     r_tot = i_tot * k_max
 
     # ONE prefill for every instance of every group (weights stream once);
-    # transposed+padded LM head hoisted out of the scan (g2.lm_head_t)
+    # transposed+padded LM head hoisted out of the scan (g2.lm_head_t), and
+    # the selection statistics (window maxima + row max/sum-exp) computed in
+    # the same pass (g2.lm_stats) — threaded through the scan carry so every
+    # group's selection skips its [R, V]-wide reductions
     wte_t = g2.lm_head_t(gpt2_params, gpt2_cfg)
-    last_inst, prefill_cache, prefill_valid, row_len = _prefill(
-        gpt2_params, gpt2_cfg, embeds, s0, pmask, cache_layout="split",
-        wte_t=wte_t,
-    )
+    (last_inst, wmax_inst, m_inst, l_inst), prefill_cache, prefill_valid, \
+        row_len = _prefill(
+            gpt2_params, gpt2_cfg, embeds, s0, pmask, cache_layout="split",
+            wte_t=wte_t, return_stats=True,
+        )
 
     # ---- uniform decode rows: instance i owns rows [i*K_max, (i+1)*K_max);
     # live rows are the first K_g of the block, the rest are dead padding --
     neg_inf = jnp.float32(-1e9)
-    states, ll_rows, anc_rows = [], [], []
+    states, ll_rows, anc_rows, stat_rows = [], [], [], []
     i_off = 0
     for g, dp in enumerate(dps):
         i, k, n = n_inst[g], dp.num_beams, dp.max_new_tokens
@@ -104,6 +108,9 @@ def generate_unified(
         # every row of the block (live or dead) gets the instance's prefill
         # logits — dead rows' selections are never read
         ll_rows.append(jnp.repeat(ll, k_max, axis=0))
+        stat_rows.append(tuple(
+            jnp.repeat(s[i_off:i_off + i], k_max, axis=0)
+            for s in (wmax_inst, m_inst, l_inst)))
         block_ids = ((i_off + jnp.arange(i, dtype=jnp.int32))[:, None] * k_max
                      + jnp.arange(k_max, dtype=jnp.int32)[None, :])  # [I_g, K_max]
         if k > 1:
@@ -133,12 +140,15 @@ def generate_unified(
         anc_rows.append(anc_g.reshape(i * k_max, n_max))
         i_off += i
     last_logits = jnp.concatenate(ll_rows, axis=0)          # [R_tot, V]
+    last_wmax = jnp.concatenate([s[0] for s in stat_rows], axis=0)
+    last_m = jnp.concatenate([s[1] for s in stat_rows], axis=0)
+    last_l = jnp.concatenate([s[2] for s in stat_rows], axis=0)
     anc0 = jnp.concatenate(anc_rows, axis=0)                # [R_tot, N_max]
     row_len_rows = jnp.repeat(row_len, k_max, axis=0)       # [R_tot]
     gen_cache = g2.init_cache(gpt2_cfg, r_tot, n_max, layout="beam_gen")
 
     def step(carry, t):
-        last_logits, gen_kv, anc, states = carry
+        (last_logits, last_wmax, last_m, last_l), gen_kv, anc, states = carry
         tokens, anc_parts, new_states = [], [], []
         i_off = 0
         for g, dp in enumerate(dps):
@@ -146,6 +156,9 @@ def generate_unified(
             r0 = i_off * k_max
             rg = i * k_max
             blk_ll = last_logits[r0:r0 + rg].reshape(i, k_max, -1)
+            blk_wmax = last_wmax[r0:r0 + rg].reshape(i, k_max, -1)
+            blk_m = last_m[r0:r0 + rg].reshape(i, k_max)
+            blk_l = last_l[r0:r0 + rg].reshape(i, k_max)
             blk_anc = anc[r0:r0 + rg].reshape(i, k_max, n_max)
             live = t < n            # False once this group's horizon passed
             own_idx = ((i_off + jnp.arange(i, dtype=jnp.int32))[:, None] * k_max
@@ -153,8 +166,11 @@ def generate_unified(
             if k > 1:
                 bs, gen, fs, fseq = states[g]
                 ll_live = blk_ll[:, :k].reshape(i * k, -1)
+                stats_live = (blk_wmax[:, :k].reshape(i * k, -1),
+                              blk_m[:, :k].reshape(i * k),
+                              blk_l[:, :k].reshape(i * k))
                 tok2d, flat_parent, nbs, ngen, nfs, nfseq = beam_select(
-                    ll_live, bs, gen, fs, fseq, t, dp, k)
+                    ll_live, bs, gen, fs, fseq, t, dp, k, stats=stats_live)
                 live_anc = blk_anc[:, :k].reshape(i * k, n_max)
                 new_live = live_anc[flat_parent].at[:, t].set(own_idx)
                 anc_new = (jnp.concatenate(
@@ -173,7 +189,7 @@ def generate_unified(
             else:
                 gen, fin, rng_g = states[g]
                 tok, ngen, nfin, nrng = sample_select(
-                    blk_ll[:, 0], gen, fin, t, dp, rng_g)
+                    blk_ll[:, 0], gen, fin, t, dp, rng_g, wmax=blk_wmax[:, 0])
                 anc_new = blk_anc     # identity ancestry never changes
                 tok_blk = jnp.full((i, k_max), dp.eos_id, jnp.int32)
                 tok_blk = tok_blk.at[:, 0].set(tok)
@@ -189,13 +205,15 @@ def generate_unified(
         anc = jnp.concatenate(anc_parts, axis=0)
         embeds = wte[token_vec]
         positions = row_len_rows + t
-        logits, new_cache = g2.gpt2_beam_step(
+        stats_new, new_cache = g2.gpt2_beam_step(
             gpt2_params, embeds, positions, prefill_cache, prefill_valid,
             {"kv": gen_kv}, anc, t, k_max, gpt2_cfg, wte_t=wte_t,
+            return_stats=True,
         )
-        return (logits, new_cache["kv"], anc, tuple(new_states)), None
+        return (stats_new, new_cache["kv"], anc, tuple(new_states)), None
 
-    carry = (last_logits, gen_cache["kv"], anc0, tuple(states))
+    carry = ((last_logits, last_wmax, last_m, last_l), gen_cache["kv"],
+             anc0, tuple(states))
     carry, _ = jax.lax.scan(step, carry, jnp.arange(n_max, dtype=jnp.int32))
     states = carry[-1]
 
