@@ -1,0 +1,43 @@
+#!/bin/bash
+# One-shot hardware measurement session: run everything that needs the real
+# TPU chip, each stage bounded and logged, continuing past failures. The
+# tunneled link comes and goes — this captures all round-3 evidence in one
+# window. Logs land in /tmp/hw_session/.
+set -u
+OUT=/tmp/hw_session
+mkdir -p "$OUT"
+cd /root/repo
+
+run() {
+  name=$1; shift; tmo=$1; shift
+  echo "=== $name (timeout ${tmo}s) start $(date +%H:%M:%S)" | tee -a "$OUT/session.log"
+  timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
+  rc=$?
+  echo "=== $name exit $rc at $(date +%H:%M:%S)" | tee -a "$OUT/session.log"
+  tail -3 "$OUT/$name.log" | sed 's/^/    /' | tee -a "$OUT/session.log"
+}
+
+# 0. sanity: is the chip reachable?
+run sanity 300 python -c "import jax; print(jax.devices())" || true
+grep -q Tpu "$OUT/sanity.log" || grep -qi axon "$OUT/sanity.log" || {
+  echo "NO DEVICE — aborting" | tee -a "$OUT/session.log"; exit 1; }
+
+# 1. kernel A/B at production batch (also proves the new kernels engage)
+run ab_decode 2400 python scripts/ab_decode.py 64 5
+
+# 2. full bench (headline JSON + roofline refresh -> reports/roofline.json)
+run bench 3000 python bench.py
+
+# 3. hlo_stats profiles: beam, sampled, encode
+run profile_beam 1200 python scripts/profile_beam.py 64 /tmp/hlo_stats_beam.csv beam
+run profile_sampled 1200 python scripts/profile_beam.py 64 /tmp/hlo_stats_sampled.csv sampled
+run profile_encode 1200 python scripts/profile_encode.py 64 /tmp/hlo_stats_encode.csv
+
+# 4. single-request latency breakdown (AOT path)
+run single_request 1800 python scripts/profile_single_request.py 30
+
+# 5. serving sweep to the saturation knee
+run serving_sweep 3000 python -m video_caption_tpu.bench.serving_load --sweep \
+    --duration 20 --out reports/serving_load_sweep.json
+
+echo "SESSION DONE $(date +%H:%M:%S)" | tee -a "$OUT/session.log"
