@@ -22,6 +22,12 @@ run sanity 300 python -c "import jax; print(jax.devices())" || true
 grep -q Tpu "$OUT/sanity.log" || grep -qi axon "$OUT/sanity.log" || {
   echo "NO DEVICE — aborting" | tee -a "$OUT/session.log"; exit 1; }
 
+# 0.5 smoke: small-batch decode with the new kernels ON (first real Mosaic
+# compile of beam_attention/lm_head — interpret-mode tests can't catch
+# TPU-only lowering failures; the fallback contract only covers trace-time
+# errors, so a compile failure here = fix before trusting later stages)
+run smoke 1800 python scripts/ab_decode.py 8 2
+
 # 1. kernel A/B at production batch (also proves the new kernels engage)
 run ab_decode 2400 python scripts/ab_decode.py 64 5
 
