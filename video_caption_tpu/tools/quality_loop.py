@@ -166,10 +166,19 @@ def train_stage3_lm(params, gcfg, captions: List[str], tokenizer,
 
 
 def train_align(ann_path: str, num_frames: int, image_size: int,
-                max_steps: int = 300, lr: float = 1e-3, seed: int = 0):
+                max_steps: int = 300, lr: float = 1e-3, seed: int = 0,
+                log_every: int = 25):
     """Stage-1-style dual-encoder training (reference ViTTextAlignModel,
     src/models/vit_text_align.py) on the synthetic pairs; returns
-    (cfg, trained_params, random_params, tokenizer)."""
+    (cfg, trained_params, random_params, tokenizer).
+
+    Trains in fp32 with GAP pooling: at random init a cls-pooled bf16 ViT's
+    output is dominated by the input-INDEPENDENT cls/pos-embed pathway — the
+    per-example signal sits below the bf16 noise floor of the embedding, so
+    every video maps to (bit-)identical vectors and no contrastive loss can
+    recover (measured: loss pinned at ln(N) and trained == random retrieval
+    to 17 digits). GAP over patch tokens + fp32 keeps the input signal
+    alive; serving/eval still run the config's own dtype."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -184,8 +193,9 @@ def train_align(ann_path: str, num_frames: int, image_size: int,
 
     # ViT geometry must match the rendered frame size (pos_embed length is
     # a function of image_size — a 224 default against smaller frames fails
-    # at trace time)
-    cfg = align.AlignConfig(vit=vt.ViTConfig(image_size=image_size))
+    # at trace time); fp32 + gap per the docstring
+    cfg = align.AlignConfig(vit=vt.ViTConfig(
+        image_size=image_size, dtype=jnp.float32, pool="gap"))
     key = jax.random.PRNGKey(seed)
     params0 = align.init_align_params(key, cfg)
 
@@ -212,12 +222,24 @@ def train_align(ann_path: str, num_frames: int, image_size: int,
         def loss_fn(q):
             v = align.encode_video(q, videos_j, cfg)
             t = align.encode_text(q, ids_j, mask_j, cfg)
-            # in-batch contrastive pairing (cosine embedding loss over
-            # positives + shuffled negatives, reference :81-86)
-            neg = jnp.roll(t, 1, axis=0)
-            pos_loss = align.cosine_embedding_loss(v, t, jnp.ones((v.shape[0],)))
-            neg_loss = align.cosine_embedding_loss(v, neg, -jnp.ones((v.shape[0],)))
-            return pos_loss + neg_loss
+            # Symmetric in-batch InfoNCE over the whole (small) pair set.
+            # The reference's pairwise cosine-embedding loss with ONE rolled
+            # negative (vit_text_align training, kept verbatim in
+            # models/align.cosine_embedding_loss for parity) degenerates on
+            # templated synthetic captions: when the text embeddings drift
+            # toward a shared direction, pos_loss + neg_loss == (1 - c) + c
+            # == 1 identically, so the loss is flat at 1.0 while the
+            # embeddings collapse and retrieval stays at chance — measured
+            # exactly that (loss 1.0000 for 150 steps, trained == random
+            # Recall@K). The softmax-over-all-pairs form removes the
+            # degeneracy; the Recall@K/MRR eval (the reference machinery,
+            # eval_retrieval.py:33-52) is unchanged.
+            logits = (v @ t.T) / 0.07            # encoders L2-normalize
+            n = logits.shape[0]
+            labels = jnp.arange(n)
+            lv = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+            lt = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
+            return (lv.mean() + lt.mean()) / 2
 
         loss, grads = jax.value_and_grad(loss_fn)(p)
         updates, s = optimizer.update(grads, s, p)
@@ -229,7 +251,7 @@ def train_align(ann_path: str, num_frames: int, image_size: int,
         key, sub = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, sub)
         last = float(loss)
-        if (i + 1) % 50 == 0:
+        if (i + 1) % log_every == 0:
             log.info("align step %d loss %.4f", i + 1, last)
     return cfg, params, params0, tokenizer
 
