@@ -103,6 +103,10 @@ class CompileConfig:
     use_pallas_encoder_attention: bool = _env_bool("VIDEO_CAPTION_PALLAS_ATTN", True)
     """VMEM-resident single-pass encoder attention (5x the XLA schedule at
     production batch on v5e, bit-identical outputs; encoder_attention.py)."""
+    deferred_decode_cache_write: bool = _env_bool("VIDEO_CAPTION_DEFERRED_KV_WRITE", False)
+    """Greedy/sampled decode: batch all 12 per-layer KV-cache writes into
+    ONE post-loop dynamic_update_slice (g2.GPT2Config.deferred_cache_write
+    docstring). Off pending the hardware A/B."""
     use_pallas_lm_head: bool = _env_bool("VIDEO_CAPTION_PALLAS_LM_HEAD", True)
     """Fused LM-head + selection-statistics kernel in the decode step
     (ops/pallas/lm_head.py)."""

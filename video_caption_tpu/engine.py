@@ -61,6 +61,7 @@ def model_config_from_inference(config: InferenceConfig) -> cm.CaptionModelConfi
             dtype=dtype,
             use_pallas_decode=config.compile.use_pallas_decode_attention,
             use_pallas_lm_head=config.compile.use_pallas_lm_head,
+            deferred_cache_write=config.compile.deferred_decode_cache_write,
             use_pallas_beam_attention=config.compile.use_pallas_beam_attention,
             use_pallas_decode_layer=(
                 config.compile.use_pallas_decode_layer

@@ -43,6 +43,15 @@ class GPT2Config:
     dtype: Any = jnp.bfloat16
     ln_eps: float = 1e-5
     use_pallas_decode: bool = False   # fused decode-step attention kernel
+    deferred_cache_write: bool = False
+    """Greedy/sampled decode step: hold every layer's new K/V in registers
+    and write the WHOLE stack with ONE dynamic_update_slice after the layer
+    loop (attention handles the current token as an explicit extra column —
+    ``_attend_deferred``). The 12 per-layer slab writes each carry ~35-45us
+    of fixed overhead (hlo_stats v5e: 13 ms of a 155 ms beam iteration was
+    DUS self-time pre-rework); batching them trades that for one write plus
+    a small stack concat. Off by default pending the hardware A/B; token
+    parity with the per-layer-write path is tested either way."""
     use_pallas_lm_head: bool = True
     """Fused LM-head + selection-statistics kernel for the decode step
     (ops/pallas/lm_head.py): logits, window maxima, row max and sum-exp in
@@ -278,6 +287,51 @@ def _attend(
     return out @ block_weight(blk, "proj_w", dt) + blk["proj_b"].astype(dt)
 
 
+def _attend_deferred(
+    q: jax.Array,          # [B,1,nh,hd] — the step's query
+    k_cache: jax.Array,    # [B,max_len,nh,hd] — WITHOUT the new token
+    v_cache: jax.Array,
+    k_new: jax.Array,      # [B,1,nh,hd] — this layer's new K/V, held in
+    v_new: jax.Array,      # registers until the post-loop batched write
+    blk: Params,
+    offset: jax.Array,
+    valid_mask: jax.Array,
+    cfg: GPT2Config,
+) -> jax.Array:
+    """Single-token decode attention for the deferred-cache-write step
+    (GPT2Config.deferred_cache_write): the cache part runs STRICTLY causal
+    (col < offset — the current column is stale in the pre-write cache) and
+    the new token's self-attention term is appended as one extra key column.
+
+    Numerics: identical masking/softmax formula as ``_attend``; only the
+    position of the self column in the softmax reduction differs (end vs
+    ``offset``), an f32 reassociation at the last-ulp level."""
+    from video_caption_tpu.models.quantize import block_weight
+
+    dt = cfg.dtype
+    b = q.shape[0]
+    h = cfg.n_embd
+    max_len = k_cache.shape[1]
+    scale = cfg.head_dim ** -0.5
+
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k_cache.astype(q.dtype), preferred_element_type=jnp.float32
+    ) * scale                                             # [B,nh,1,max_len]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
+    mask = (col < offset)[None, None] & (valid_mask[:, None, None, :] > 0)
+    logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    lg_self = jnp.einsum(
+        "bqhd,bqhd->bhq", q, k_new.astype(q.dtype), preferred_element_type=jnp.float32
+    )[:, :, :, None] * scale                              # [B,nh,1,1]
+    attn = jax.nn.softmax(
+        jnp.concatenate([logits, lg_self], axis=-1), axis=-1
+    ).astype(dt)                                          # [B,nh,1,max_len+1]
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn[:, :, :, :max_len], v_cache.astype(dt))
+    out = out + attn[:, :, :, max_len:].transpose(0, 3, 1, 2) * v_new.astype(dt)
+    out = out.reshape(b, 1, h)
+    return out @ block_weight(blk, "proj_w", dt) + blk["proj_b"].astype(dt)
+
+
 def _cached_attention(
     x: jax.Array,
     blk: Params,
@@ -381,6 +435,8 @@ def gpt2_forward(
 
     if inputs_embeds.shape[1] == 1:
         kv_all = cache["kv"]
+        deferred = cfg.deferred_cache_write
+        kv_news = []
         for layer in range(cfg.n_layer):
             blk = jax.tree.map(lambda a: a[layer], params["blocks"])
             a_in = _layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
@@ -388,18 +444,29 @@ def gpt2_forward(
             qkv = a_in @ block_weight(blk, "attn_w", dt) + blk["attn_b"].astype(dt)
             qkv = qkv.reshape(b, s, 3, cfg.n_head, cfg.head_dim)
             q = qkv[:, :, 0]
-            # ONE interleaved K|V write per layer (init_cache docstring)
-            kv_all = jax.lax.dynamic_update_slice(
-                kv_all, qkv[:, :, 1:3].astype(kv_all.dtype)[None],
-                (layer, 0, offset, 0, 0, 0))
-            a_out = _attend(q, kv_all[layer, :, :, 0], kv_all[layer, :, :, 1],
-                            blk, offset, valid_mask, cfg)
+            if deferred:
+                # new K/V ride registers; ONE stacked write after the loop
+                kv_news.append(qkv[:, :, 1:3].astype(kv_all.dtype))
+                a_out = _attend_deferred(
+                    q, kv_all[layer, :, :, 0], kv_all[layer, :, :, 1],
+                    qkv[:, :, 1], qkv[:, :, 2], blk, offset, valid_mask, cfg)
+            else:
+                # ONE interleaved K|V write per layer (init_cache docstring)
+                kv_all = jax.lax.dynamic_update_slice(
+                    kv_all, qkv[:, :, 1:3].astype(kv_all.dtype)[None],
+                    (layer, 0, offset, 0, 0, 0))
+                a_out = _attend(q, kv_all[layer, :, :, 0], kv_all[layer, :, :, 1],
+                                blk, offset, valid_mask, cfg)
             x = x + a_out
             m_in = _layer_norm(x, blk["ln2_scale"], blk["ln2_bias"], cfg.ln_eps)
             m = m_in @ block_weight(blk, "fc_w", dt) + blk["fc_b"].astype(dt)
             m = jax.nn.gelu(m.astype(jnp.float32), approximate=True).astype(dt)
             m = m @ block_weight(blk, "out_w", dt) + blk["out_b"].astype(dt)
             x = x + m
+        if deferred:
+            # [L,B,1,2,nh,hd] stack -> single in-place slab write at `offset`
+            kv_all = jax.lax.dynamic_update_slice(
+                kv_all, jnp.stack(kv_news, axis=0), (0, 0, offset, 0, 0, 0))
         new_kv = kv_all
     else:
         def body(carry, xs):
