@@ -33,6 +33,7 @@ VARIANTS = {
     "no_beam_attn": {"use_pallas_beam_attention": False},
     "no_lm_head": {"use_pallas_lm_head": False},
     "no_kernels": {"use_pallas_beam_attention": False, "use_pallas_lm_head": False},
+    "deferred_write": {"deferred_decode_cache_write": True},
 }
 
 
