@@ -83,3 +83,42 @@ def test_deferred_write_cache_contents_match(small_gpt2):
             tok = jnp.argmax(logits[:, -1, :], axis=-1)
         outs[name] = np.asarray(cache["kv"])
     np.testing.assert_allclose(outs["base"], outs["deferred"], rtol=0, atol=1e-6)
+
+
+def test_deferred_write_beam_token_parity():
+    """beam_search with deferred_cache_write on vs off (XLA path): tokens
+    must match — column t is handled as the explicit self column and the
+    batched write lands the same values."""
+    from video_caption_tpu.decode.generate import generate
+
+    cfg = g2.GPT2Config(vocab_size=256, n_embd=64, n_layer=3, n_head=2,
+                        dtype=jnp.float32)
+    cfg_def = dataclasses.replace(cfg, deferred_cache_write=True)
+    params = g2.init_gpt2_params(jax.random.PRNGKey(0), cfg)
+    embeds = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 64))
+    mask = jnp.asarray([[1] * 5, [0, 0, 1, 1, 1]], jnp.int32)
+    dp = DecodeParams(max_new_tokens=8, num_beams=3, min_new_tokens=2,
+                      eos_id=255)
+    base = generate(params, cfg, embeds, dp, prefill_mask=mask)
+    deferred = generate(params, cfg_def, embeds, dp, prefill_mask=mask)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(deferred))
+
+
+def test_deferred_write_beam_kernel_interpret():
+    """Deferred beam decode with the Pallas kernel forced (interpret mode)
+    matches the deferred XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from video_caption_tpu.decode.generate import generate
+
+    cfg_x = g2.GPT2Config(vocab_size=256, n_embd=64, n_layer=2, n_head=2,
+                          dtype=jnp.float32, deferred_cache_write=True)
+    cfg_k = dataclasses.replace(cfg_x, use_pallas_beam_attention=True)
+    params = g2.init_gpt2_params(jax.random.PRNGKey(0), cfg_x)
+    embeds = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 64))
+    dp = DecodeParams(max_new_tokens=6, num_beams=2, min_new_tokens=2,
+                      eos_id=255)
+    base = generate(params, cfg_x, embeds, dp)
+    with pltpu.force_tpu_interpret_mode():
+        kern = generate(params, cfg_k, embeds, dp)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(kern))

@@ -529,10 +529,13 @@ def _beam_attend(
     gk: jax.Array,              # [N, R, H] — one layer's gen K (TIME-major)
     gv: jax.Array,              # [N, R, H] — one layer's gen V
     prefill_valid: jax.Array,   # [B, S0]
-    sel: jax.Array,             # [B,Kq,N,Kv] ancestry mask (ancestry_mask)
+    sel: jax.Array,             # [B,Kq,N,Kv] ancestry mask (ancestry_mask);
+                                # STRICT (built with t-1) in deferred mode
     hmask: jax.Array,           # [nh, H] head_block_mask
     k_beams: int,
     cfg: GPT2Config,
+    k_new: jax.Array = None,    # [R, H] deferred mode: this step's K/V, not
+    v_new: jax.Array = None,    # yet in the cache — self column appended
 ) -> jax.Array:
     """Split-cache attention of one beam group in HEAD-BLOCKED form: queries
     are expanded to [B, K*nh, H] rows that are zero outside their own head's
@@ -564,8 +567,18 @@ def _beam_attend(
     lg = jnp.where(sel[:, :, None, :, :], lg, jnp.float32(-1e30))
     lg = lg.reshape(b, k_beams * nh, n * k_beams)
 
-    attn = jax.nn.softmax(jnp.concatenate([lp_, lg], axis=-1), axis=-1).astype(dt)
-    ap, ag = attn[..., :s0], attn[..., s0:]
+    parts = [lp_, lg]
+    if k_new is not None:
+        # deferred-write self column: at column t each row attends only its
+        # OWN new K (anc[:, t] is the identity), so it's a rowwise dot
+        kn = jnp.broadcast_to(
+            k_new.astype(dt).reshape(b, k_beams, 1, cfg.n_embd),
+            (b, k_beams, nh, cfg.n_embd)).reshape(b, k_beams * nh, cfg.n_embd)
+        ls = jnp.sum(q_blk.astype(jnp.float32) * kn.astype(jnp.float32),
+                     axis=-1, keepdims=True) * scale                   # [B,K*nh,1]
+        parts.append(ls)
+    attn = jax.nn.softmax(jnp.concatenate(parts, axis=-1), axis=-1).astype(dt)
+    ap, ag = attn[..., :s0], attn[..., s0:s0 + n * k_beams]
     out_p = jnp.einsum("bqs,bsh->bqh", ap, pv.astype(dt))              # [B,K*nh,H]
     # AV over the gen region as an N-BATCHED dot + reduce, NOT one joint
     # (n,k) contraction: the joint form makes XLA want the gen cache laid
@@ -579,6 +592,11 @@ def _beam_attend(
     per_n = jnp.einsum("nbqk,nbkh->nbqh", agn, gvb.astype(dt),
                        preferred_element_type=jnp.float32)               # batch (n,b)
     out_g = per_n.sum(axis=0).astype(out_p.dtype)
+    if k_new is not None:
+        vn = jnp.broadcast_to(
+            v_new.astype(dt).reshape(b, k_beams, 1, cfg.n_embd),
+            (b, k_beams, nh, cfg.n_embd)).reshape(b, k_beams * nh, cfg.n_embd)
+        out_g = out_g + attn[..., s0 + n * k_beams:] * vn
     res = (out_p + out_g).reshape(b, k_beams, nh, cfg.n_embd)
     # keep only each row's own head block and re-merge heads
     out = jnp.sum(res * hmask.astype(dt)[None, None], axis=2)          # [B,K,H]
@@ -652,6 +670,8 @@ def gpt2_beam_step(
     # prefill cache (hlo_stats trace, v5e bs=64).
     gkv_all = gen_cache["kv"]                           # [L,N,2,R,H]
     pk_all, pv_all = prefill_cache["k"], prefill_cache["v"]  # [L,B,S0,H]
+    deferred = cfg.deferred_cache_write
+    kv_news = []
     for layer in range(cfg.n_layer):
         blk = jax.tree.map(lambda a, _l=layer: a[_l], params["blocks"])
         a_in = _layer_norm(x, blk["ln1_scale"], blk["ln1_bias"], cfg.ln_eps)
@@ -660,21 +680,31 @@ def gpt2_beam_step(
         q = qkv[:, 0]                                                   # [R, H]
 
         kv_new = jnp.swapaxes(qkv[:, 1:3], 0, 1)        # [2, R, H]
-        gkv_all = jax.lax.dynamic_update_slice(
-            gkv_all, kv_new.astype(gkv_all.dtype)[None, None],
-            (layer, t, 0, 0, 0))
+        if deferred:
+            # column t rides registers; ONE stacked write after the loop
+            kv_news.append(kv_new.astype(gkv_all.dtype))
+            k_cur, v_cur = qkv[:, 1], qkv[:, 2]
+        else:
+            gkv_all = jax.lax.dynamic_update_slice(
+                gkv_all, kv_new.astype(gkv_all.dtype)[None, None],
+                (layer, t, 0, 0, 0))
+            k_cur = v_cur = None
 
         out = None
         if beam_gen_attention is not None:
             out = beam_gen_attention(
                 q.astype(dt), gkv_all, pk_all, pv_all, prefill_valid, anc, t,
-                hmask.astype(dt), layer, k_beams, cfg.n_head)
+                hmask.astype(dt), layer, k_beams, cfg.n_head,
+                k_new=k_cur, v_new=v_cur)
         if out is None:
             if sel is None:
-                sel = ancestry_mask(anc, b, k_beams, t)
+                # deferred: STRICT mask (column t handled as the explicit
+                # self column — ancestry_mask(t-1) keeps only j < t)
+                sel = ancestry_mask(anc, b, k_beams, t - 1 if deferred else t)
             out = _beam_attend(q, pk_all[layer], pv_all[layer],
                                gkv_all[layer, :, 0], gkv_all[layer, :, 1],
-                               prefill_valid, sel, hmask, k_beams, cfg)
+                               prefill_valid, sel, hmask, k_beams, cfg,
+                               k_new=k_cur, v_new=v_cur)
         out = out @ block_weight(blk, "proj_w", dt) + blk["proj_b"].astype(dt)
         x = x + out
 
@@ -683,6 +713,10 @@ def gpt2_beam_step(
         m = jax.nn.gelu(m.astype(jnp.float32), approximate=True).astype(dt)
         m = m @ block_weight(blk, "out_w", dt) + blk["out_b"].astype(dt)
         x = x + m
+    if deferred:
+        # [L,2,R,H] stack -> ONE in-place [L,1,2,R,H] slab write at column t
+        gkv_all = jax.lax.dynamic_update_slice(
+            gkv_all, jnp.stack(kv_news, axis=0)[:, None], (0, t, 0, 0, 0))
     x = _layer_norm(x, params["lnf_scale"], params["lnf_bias"], cfg.ln_eps)
     if return_stats:
         return lm_stats(x, wte_t, cfg, need_row_stats=True), {"kv": gkv_all}

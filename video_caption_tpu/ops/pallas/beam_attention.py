@@ -49,8 +49,12 @@ _NEG = -1e30
 
 
 def _kernel(t_ref, q_ref, gkv_ref, pk_ref, pv_ref, valid_ref, anc_ref,
-            hmask_ref, o_ref, *, layer: int, vb: int, k: int, nh: int,
-            s0: int, n: int, scale: float):
+            hmask_ref, *refs, layer: int, vb: int, k: int, nh: int,
+            s0: int, n: int, scale: float, deferred: bool):
+    if deferred:
+        knew_ref, vnew_ref, o_ref = refs
+    else:
+        (o_ref,) = refs
     t = t_ref[0]
     q = q_ref[:]                        # [vb*K, H] bf16
     gkv = gkv_ref[:][0]                 # [N, 2, vb*K, H]
@@ -88,25 +92,42 @@ def _kernel(t_ref, q_ref, gkv_ref, pk_ref, pv_ref, valid_ref, anc_ref,
         ) * scale                                                # [K*nh, N*K]
 
         # ancestry mask: query beam kq may attend gen column (nn, kv) iff
-        # anc[row(kq), nn] == global_row(kv) and nn <= t
+        # anc[row(kq), nn] == global_row(kv) and nn <= t (STRICTLY < t in
+        # deferred mode — column t is stale; the self column covers it)
         anc_v = anc[v * k:(v + 1) * k, :]                        # [K, N]
         base = row0_global + v * k
-        sel = (anc_v[:, :, None] == (base + kv_iota)[None, :, :]) \
-            & (n_iota[None, :, :] <= t)                          # [K, N, Kv]
+        t_lim = n_iota[None, :, :] < t if deferred else n_iota[None, :, :] <= t
+        sel = (anc_v[:, :, None] == (base + kv_iota)[None, :, :]) & t_lim
         sel_flat = sel.reshape(k, n * k)
         lg_g = lg_g.reshape(k, nh, n * k)
         lg_g = jnp.where(sel_flat[:, None, :], lg_g, _NEG).reshape(k * nh, n * k)
 
+        parts = [lg_p, lg_g]
+        if deferred:
+            # self column: each row attends only its OWN new K (anc[:, t]
+            # is the identity) — a rowwise dot over H
+            kn = knew_ref[v * k:(v + 1) * k, :]                  # [K, H]
+            kn_exp = jnp.broadcast_to(kn[:, None, :], (k, nh, h)).reshape(
+                k * nh, h)
+            ls = jnp.sum((q_exp * kn_exp).astype(jnp.float32), axis=-1,
+                         keepdims=True) * scale                  # [K*nh, 1]
+            parts.append(ls)
         attn = jax.nn.softmax(
-            jnp.concatenate([lg_p, lg_g], axis=-1), axis=-1
-        ).astype(dt)                                             # [K*nh, S0+N*K]
+            jnp.concatenate(parts, axis=-1), axis=-1
+        ).astype(dt)                                             # [K*nh, S0+N*K(+1)]
         out = jax.lax.dot_general(
             attn[:, :s0], pv[v], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + jax.lax.dot_general(
-            attn[:, s0:], gv, (((1,), (0,)), ((), ())),
+            attn[:, s0:s0 + n * k], gv, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                        # [K*nh, H]
+        if deferred:
+            vn = vnew_ref[v * k:(v + 1) * k, :]                  # [K, H]
+            vn_exp = jnp.broadcast_to(vn[:, None, :], (k, nh, h)).reshape(
+                k * nh, h)
+            out = out + attn[:, s0 + n * k:].astype(jnp.float32) * \
+                vn_exp.astype(jnp.float32)
         # keep each row's own head block, re-merge heads
         res = (out.reshape(k, nh, h) * hmask[None, :, :]).sum(axis=1)
         o_ref[v * k:(v + 1) * k, :] = res.astype(o_ref.dtype)
@@ -114,33 +135,40 @@ def _kernel(t_ref, q_ref, gkv_ref, pk_ref, pv_ref, valid_ref, anc_ref,
 
 @partial(jax.jit, static_argnames=("layer", "k", "nh", "vb"))
 def _run(t_arr, q, gkv, pk, pv, valid, anc, hmask, layer: int, k: int,
-         nh: int, vb: int):
+         nh: int, vb: int, k_new=None, v_new=None):
     r, h = q.shape
     n = gkv.shape[1]
     b, s0 = valid.shape
+    deferred = k_new is not None
     kern = partial(_kernel, layer=layer, vb=vb, k=k, nh=nh, s0=s0, n=n,
-                   scale=(h // nh) ** -0.5)
+                   scale=(h // nh) ** -0.5, deferred=deferred)
     grid = (b // vb,)
     rb = vb * k
+    in_specs = [
+        pl.BlockSpec((rb, h), lambda iv, t: (iv, 0)),
+        # full stacked caches; the layer picks its block statically
+        pl.BlockSpec((1, n, 2, rb, h), lambda iv, t: (layer, 0, 0, iv, 0)),
+        pl.BlockSpec((1, vb, s0, h), lambda iv, t: (layer, iv, 0, 0)),
+        pl.BlockSpec((1, vb, s0, h), lambda iv, t: (layer, iv, 0, 0)),
+        pl.BlockSpec((vb, s0), lambda iv, t: (iv, 0)),
+        pl.BlockSpec((rb, n), lambda iv, t: (iv, 0)),
+        pl.BlockSpec((nh, h), lambda iv, t: (0, 0)),
+    ]
+    args = [t_arr, q, gkv, pk, pv, valid, anc, hmask]
+    if deferred:
+        in_specs += [pl.BlockSpec((rb, h), lambda iv, t: (iv, 0)),
+                     pl.BlockSpec((rb, h), lambda iv, t: (iv, 0))]
+        args += [k_new, v_new]
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((rb, h), lambda iv, t: (iv, 0)),
-                # full stacked caches; the layer picks its block statically
-                pl.BlockSpec((1, n, 2, rb, h), lambda iv, t: (layer, 0, 0, iv, 0)),
-                pl.BlockSpec((1, vb, s0, h), lambda iv, t: (layer, iv, 0, 0)),
-                pl.BlockSpec((1, vb, s0, h), lambda iv, t: (layer, iv, 0, 0)),
-                pl.BlockSpec((vb, s0), lambda iv, t: (iv, 0)),
-                pl.BlockSpec((rb, n), lambda iv, t: (iv, 0)),
-                pl.BlockSpec((nh, h), lambda iv, t: (0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((rb, h), lambda iv, t: (iv, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((r, h), q.dtype),
-    )(t_arr, q, gkv, pk, pv, valid, anc, hmask)
+    )(*args)
 
 
 def beam_gen_attention(
@@ -155,6 +183,8 @@ def beam_gen_attention(
     layer: int,
     num_beams: int,
     nh: int,
+    k_new: Optional[jax.Array] = None,  # [R, H] deferred-write mode: this
+    v_new: Optional[jax.Array] = None,  # step's K/V (cache column t stale)
 ) -> Optional[jax.Array]:
     """Attention output [R, H] for one layer of the beam decode step, or
     None (fallback to the XLA _beam_attend path)."""
@@ -179,9 +209,12 @@ def beam_gen_attention(
         return None
     try:
         t_arr = jnp.asarray(t, jnp.int32).reshape(1)
+        kn = None if k_new is None else k_new.astype(q.dtype)
+        vn = None if v_new is None else v_new.astype(q.dtype)
         out = _run(t_arr, q, gkv_all, pk_all, pv_all,
                    prefill_valid.astype(jnp.int32), anc.astype(jnp.int32),
-                   hmask.astype(q.dtype), layer, k, nh, vb)
+                   hmask.astype(q.dtype), layer, k, nh, vb,
+                   k_new=kn, v_new=vn)
         last_backend = "pallas"
         return out
     except Exception as exc:
