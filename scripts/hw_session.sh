@@ -46,4 +46,8 @@ run single_request 1800 python scripts/profile_single_request.py 30
 run serving_sweep 3000 python -m video_caption_tpu.bench.serving_load --sweep \
     --duration 20 --out reports/serving_load_sweep.json
 
+# 6. retrieval leg of the quality loop at full size (refreshes the CPU-sized
+# artifact with on-chip numbers)
+run align_retrieval 2400 python scripts/align_retrieval.py --unique_captions
+
 echo "SESSION DONE $(date +%H:%M:%S)" | tee -a "$OUT/session.log"
