@@ -88,6 +88,52 @@ def check_alignment(image_size: int = 224, num_frames: int = 4, seed: int = 0) -
     except Exception as exc:  # pragma: no cover
         results["pallas ops vs XLA"] = {"ok": False, "error": str(exc)}
 
+    # 4. decode kernels (lm_head stats + beam attention) vs XLA: exact token
+    # parity on a short beam decode. On TPU this runs the real kernels at
+    # production GPT-2 geometry; off-TPU it runs Pallas interpret mode at a
+    # TINY geometry (full-vocab interpret decode takes tens of minutes on
+    # CPU). Row count stays a multiple of 8 so the lm_head kernel engages.
+    try:
+        from video_caption_tpu.decode.generate import DecodeParams, generate
+
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if on_tpu:
+            gpt_off = dataclasses.replace(
+                base_gpt, dtype=jnp.bfloat16,
+                use_pallas_lm_head=False, use_pallas_beam_attention=False)
+            dec_params = params["decoder"]
+        else:
+            gpt_off = g2.GPT2Config(
+                vocab_size=256, n_embd=128, n_layer=2, n_head=2,
+                dtype=jnp.float32,
+                use_pallas_lm_head=False, use_pallas_beam_attention=False)
+            dec_params = g2.init_gpt2_params(jax.random.PRNGKey(9), gpt_off)
+        gpt_on = dataclasses.replace(
+            gpt_off, use_pallas_lm_head=True, use_pallas_beam_attention=True)
+        dp = DecodeParams(max_new_tokens=6, num_beams=4, min_new_tokens=2,
+                          eos_id=gpt_off.vocab_size - 1)
+        emb = jax.random.normal(jax.random.PRNGKey(5),
+                                (2, 5, gpt_off.n_embd)) * 0.02
+        ids_off = np.asarray(generate(dec_params, gpt_off, emb, dp))
+        if on_tpu:
+            ids_on = np.asarray(generate(dec_params, gpt_on, emb, dp))
+        else:
+            with pltpu.force_tpu_interpret_mode():
+                ids_on = np.asarray(generate(dec_params, gpt_on, emb, dp))
+        from video_caption_tpu.ops.pallas import beam_attention, lm_head
+
+        ok = bool((ids_on == ids_off).all())
+        results["decode kernels vs XLA"] = {
+            "ok": ok, "tokens_equal": ok,
+            "beam_attention_backend": beam_attention.last_backend,
+            "lm_head_backend": lm_head.last_backend,
+        }
+        log.info("%-28s tokens_equal=%s (beam_attn=%s lm_head=%s)",
+                 "decode kernels vs XLA", ok, beam_attention.last_backend,
+                 lm_head.last_backend)
+    except Exception as exc:  # pragma: no cover
+        results["decode kernels vs XLA"] = {"ok": False, "error": str(exc)}
+
     results["all_ok"] = all(v.get("ok") for v in results.values() if isinstance(v, dict))
     return results
 
