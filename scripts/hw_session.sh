@@ -50,4 +50,7 @@ run serving_sweep 3000 python -m video_caption_tpu.bench.serving_load --sweep \
 # artifact with on-chip numbers)
 run align_retrieval 2400 python scripts/align_retrieval.py --unique_captions
 
+# 7. deployment numerics gate on-chip (now includes the decode-kernel leg)
+run alignment 1800 bash -c 'python -m video_caption_tpu.bench.accuracy_alignment --image_size 224 --num_frames 4 > reports/accuracy_alignment.json && tail -c 400 reports/accuracy_alignment.json'
+
 echo "SESSION DONE $(date +%H:%M:%S)" | tee -a "$OUT/session.log"
