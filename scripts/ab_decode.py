@@ -73,6 +73,26 @@ for name, overrides in VARIANTS.items():
             "ms": round(ms, 1)}), flush=True)
     print(json.dumps({"variant": name, "stage": "decode_total",
                       "ms": round(total, 1)}), flush=True)
+    # unified mixed-policy program over the same groups (SURVEY hard part 6
+    # A/B: one weight stream for all rows vs per-group programs)
+    try:
+        from video_caption_tpu.decode.generate import DecodeParams  # noqa: F401
+        from video_caption_tpu.decode.unified import generate_unified
+
+        dps = tuple(g[0] for g in group_list)
+        prompts = tuple((jnp.asarray(g[2]), jnp.asarray(g[3]))
+                        for g in group_list)
+        rngs = tuple(jax.random.PRNGKey(17 + i)
+                     for i in range(len(group_list)))
+        gcfg = eng.model_cfg.gpt2
+        ms_u = timed(lambda: generate_unified(
+            eng.params["decoder"], gcfg, prefix, prompts, dps, rngs)[0],
+            trials)
+        print(json.dumps({"variant": name, "stage": "decode_unified",
+                          "ms": round(ms_u, 1)}), flush=True)
+    except Exception as exc:
+        print(json.dumps({"variant": name, "stage": "decode_unified",
+                          "error": str(exc)[:200]}), flush=True)
     # kernel engagement check (fallback silently degrades to XLA)
     if name == "default":
         from video_caption_tpu.ops.pallas import beam_attention, lm_head
