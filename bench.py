@@ -209,6 +209,17 @@ def main() -> None:
         record["mfu_per_stage"] = {
             s["stage"]: s.get("pct_peak_flops") for s in roofline["stages"]
         }
+    try:  # which compute path actually served the run (fallbacks are silent)
+        from video_caption_tpu.ops.pallas import (
+            beam_attention, encoder_attention, lm_head)
+
+        record["kernel_backends"] = {
+            "encoder_attention": encoder_attention.last_backend,
+            "beam_attention": beam_attention.last_backend,
+            "lm_head": lm_head.last_backend,
+        }
+    except Exception:
+        pass
     history = []
     if hist_path.is_file():
         try:
