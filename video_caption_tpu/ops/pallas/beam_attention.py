@@ -49,7 +49,7 @@ _NEG = -1e30
 
 
 def _kernel(t_ref, q_ref, gkv_ref, pk_ref, pv_ref, valid_ref, anc_ref,
-            hmask_ref, *refs, layer: int, vb: int, k: int, nh: int,
+            *refs, layer: int, vb: int, k: int, nh: int,
             s0: int, n: int, scale: float, deferred: bool):
     if deferred:
         knew_ref, vnew_ref, o_ref = refs
@@ -62,21 +62,47 @@ def _kernel(t_ref, q_ref, gkv_ref, pk_ref, pv_ref, valid_ref, anc_ref,
     pv = pv_ref[:][0]
     valid = valid_ref[:]                # [vb, S0] i32
     anc = anc_ref[:]                    # [vb*K, N] i32
-    hmask = hmask_ref[:]                # [nh, H] compute-dtype 0/1
     h = q.shape[-1]
     dt = q.dtype
+    hd = h // nh
+    kn2 = k * nh
 
     iv = pl.program_id(0)
     row0_global = iv * vb * k           # first global row of this block
 
-    n_iota = jax.lax.broadcasted_iota(jnp.int32, (n, k), 0)      # [N, Kv]
-    kv_iota = jax.lax.broadcasted_iota(jnp.int32, (n, k), 1)
+    # Everything below stays strictly 2D. The expand/merge steps the XLA
+    # path writes as reshapes — (K,nh,H)<->(K*nh,H), (N,K,H)->(N*K,H), and
+    # the (K,N,K)->(K,N*K) ancestry-mask flatten — are vector shape casts
+    # Mosaic refuses on these minor-dim shapes (v5e aborted compilation
+    # with "infer-vector-layout: unsupported shape cast" on the i1 one).
+    # Instead: iota arithmetic for masks and one-hot matmuls for the
+    # row expansions/merges. Each one-hot contraction has exactly one
+    # nonzero term per output element, so it is bit-exact.
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (kn2, h), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (kn2, h), 1)
+    hmask_rep = col_i // hd == row_i % nh              # [K*nh, H] head blocks
+    eq = (jax.lax.broadcasted_iota(jnp.int32, (kn2, k), 0) // nh ==
+          jax.lax.broadcasted_iota(jnp.int32, (kn2, k), 1)
+          ).astype(jnp.float32)                        # [K*nh, K] one-hot
+    eq_t = (jax.lax.broadcasted_iota(jnp.int32, (k, kn2), 1) // nh ==
+            jax.lax.broadcasted_iota(jnp.int32, (k, kn2), 0)
+            ).astype(jnp.float32)                      # [K, K*nh] one-hot
+    nn_i = jax.lax.broadcasted_iota(jnp.int32, (kn2, n), 1)      # [K*nh, N]
+    # STRICTLY < t in deferred mode — column t is stale; the self column
+    # appended below covers it
+    t_ok = (nn_i < t) if deferred else (nn_i <= t)
+
+    def expand_rows(xk):
+        """[K, H] -> [K*nh, H] f32; row kq*nh+hh carries xk[kq] (exact)."""
+        return jax.lax.dot_general(
+            eq, xk.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     for v in range(vb):
         qv = q[v * k:(v + 1) * k, :]                             # [K, H]
         # head-blocked expansion: row (kq*nh + hh) is qv[kq] zeroed outside
         # head hh's H-slice
-        q_exp = (qv[:, None, :] * hmask[None, :, :]).reshape(k * nh, h)
+        q_exp = jnp.where(hmask_rep, expand_rows(qv), 0.0).astype(dt)
 
         lg_p = jax.lax.dot_general(
             q_exp, pk[v], (((1,), (1,)), ((), ())),
@@ -84,57 +110,109 @@ def _kernel(t_ref, q_ref, gkv_ref, pk_ref, pv_ref, valid_ref, anc_ref,
         ) * scale                                                # [K*nh, S0]
         lg_p = jnp.where((valid[v, :] > 0)[None, :], lg_p, _NEG)
 
-        gk = gkv[:, 0, v * k:(v + 1) * k, :].reshape(n * k, h)   # [N*K, H]
-        gv = gkv[:, 1, v * k:(v + 1) * k, :].reshape(n * k, h)
-        lg_g = jax.lax.dot_general(
-            q_exp, gk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale                                                # [K*nh, N*K]
-
-        # ancestry mask: query beam kq may attend gen column (nn, kv) iff
-        # anc[row(kq), nn] == global_row(kv) and nn <= t (STRICTLY < t in
-        # deferred mode — column t is stale; the self column covers it)
-        anc_v = anc[v * k:(v + 1) * k, :]                        # [K, N]
+        # ancestry expanded to query rows: anc_rep[row, nn] = anc[row//nh, nn]
+        # (row indices < R <= a few hundred — exact in f32)
+        anc_rep = jax.lax.dot_general(
+            eq, anc[v * k:(v + 1) * k, :].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # [K*nh, N]
         base = row0_global + v * k
-        t_lim = n_iota[None, :, :] < t if deferred else n_iota[None, :, :] <= t
-        sel = (anc_v[:, :, None] == (base + kv_iota)[None, :, :]) & t_lim
-        sel_flat = sel.reshape(k, n * k)
-        lg_g = lg_g.reshape(k, nh, n * k)
-        lg_g = jnp.where(sel_flat[:, None, :], lg_g, _NEG).reshape(k * nh, n * k)
 
-        parts = [lg_p, lg_g]
+        # generated region, one 2D slab per beam slot kv: query beam kq may
+        # attend slot kv's gen column nn iff anc[kq, nn] == base + kv.
+        # The parts are NEVER concatenated — Mosaic rejects lane-misaligned
+        # tpu.concatenate (S0/N offsets aren't 128-multiples) — the softmax
+        # runs jointly across parts via a shared row max + partial sums
+        # (same x-max/exp/normalize formula; denominator summation order
+        # differs from a flat softmax by f32 rounding only).
+        parts = [lg_p]
+        gvs = []
+        for kv in range(k):
+            gk_kv = gkv[:, 0, v * k + kv, :]                     # [N, H]
+            gvs.append(gkv[:, 1, v * k + kv, :])
+            lg_kv = jax.lax.dot_general(
+                q_exp, gk_kv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                            # [K*nh, N]
+            sel_kv = (anc_rep == (base + kv).astype(jnp.float32)) & t_ok
+            parts.append(jnp.where(sel_kv, lg_kv, _NEG))
         if deferred:
             # self column: each row attends only its OWN new K (anc[:, t]
             # is the identity) — a rowwise dot over H
-            kn = knew_ref[v * k:(v + 1) * k, :]                  # [K, H]
-            kn_exp = jnp.broadcast_to(kn[:, None, :], (k, nh, h)).reshape(
-                k * nh, h)
-            ls = jnp.sum((q_exp * kn_exp).astype(jnp.float32), axis=-1,
+            kn_exp = expand_rows(knew_ref[v * k:(v + 1) * k, :])
+            ls = jnp.sum(q_exp.astype(jnp.float32) * kn_exp, axis=-1,
                          keepdims=True) * scale                  # [K*nh, 1]
             parts.append(ls)
-        attn = jax.nn.softmax(
-            jnp.concatenate(parts, axis=-1), axis=-1
-        ).astype(dt)                                             # [K*nh, S0+N*K(+1)]
+        m = parts[0].max(axis=-1, keepdims=True)
+        for p in parts[1:]:
+            m = jnp.maximum(m, p.max(axis=-1, keepdims=True))    # [K*nh, 1]
+        exps = [jnp.exp(p - m) for p in parts]
+        denom = exps[0].sum(axis=-1, keepdims=True)
+        for e in exps[1:]:
+            denom = denom + e.sum(axis=-1, keepdims=True)
+        inv = 1.0 / denom                                        # [K*nh, 1]
         out = jax.lax.dot_general(
-            attn[:, :s0], pv[v], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            attn[:, s0:s0 + n * k], gv, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                        # [K*nh, H]
+            (exps[0] * inv).astype(dt), pv[v], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # [K*nh, H]
+        for kv in range(k):
+            out = out + jax.lax.dot_general(
+                (exps[1 + kv] * inv).astype(dt), gvs[kv],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         if deferred:
-            vn = vnew_ref[v * k:(v + 1) * k, :]                  # [K, H]
-            vn_exp = jnp.broadcast_to(vn[:, None, :], (k, nh, h)).reshape(
-                k * nh, h)
-            out = out + attn[:, s0 + n * k:].astype(jnp.float32) * \
-                vn_exp.astype(jnp.float32)
-        # keep each row's own head block, re-merge heads
-        res = (out.reshape(k, nh, h) * hmask[None, :, :]).sum(axis=1)
+            vn_exp = expand_rows(vnew_ref[v * k:(v + 1) * k, :])
+            out = out + (exps[-1] * inv).astype(dt).astype(jnp.float32) * vn_exp
+        # keep each row's own head block, re-merge heads (one nonzero row
+        # per output element after the mask -> exact)
+        out = jnp.where(hmask_rep, out, 0.0)
+        res = jax.lax.dot_general(
+            eq_t, out, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # [K, H]
         o_ref[v * k:(v + 1) * k, :] = res.astype(o_ref.dtype)
 
 
+_probe_ok: dict = {}
+
+
+def _compile_probe(deferred: bool) -> bool:
+    """Eagerly compile the kernel once at tiny shapes before it is ever
+    traced into a real program. Mosaic lowering failures surface at the
+    ENCLOSING program's compile — after tracing, outside any try/except
+    around the traced call — so the trace-time fallback contract alone
+    cannot catch them (the hw-session smoke caught exactly this: an
+    interpret-green kernel aborting the whole beam program's compile).
+    Systematic lowering failures are shape-independent and show up here;
+    on failure the kernel reports unavailable and callers take the XLA
+    path. Costs one tiny compile per process and mode."""
+    from video_caption_tpu.ops.pallas.platform import _interpret_mode_forced
+    if _interpret_mode_forced():
+        return True
+    key = bool(deferred)
+    if key in _probe_ok:
+        return _probe_ok[key]
+    global last_error
+    try:
+        k, nh, h, vb, b, s0, n = 2, 2, 256, 4, 4, 8, 8
+        r = b * k
+        z = lambda shape: jnp.zeros(shape, jnp.bfloat16)  # noqa: E731
+        out = _run(
+            jnp.zeros((1,), jnp.int32), z((r, h)), z((2, n, 2, r, h)),
+            z((2, b, s0, h)), z((2, b, s0, h)),
+            jnp.ones((b, s0), jnp.int32), jnp.zeros((r, n), jnp.int32),
+            0, k, nh, vb,
+            k_new=z((r, h)) if deferred else None,
+            v_new=z((r, h)) if deferred else None)
+        jax.block_until_ready(out)
+        _probe_ok[key] = True
+    except Exception as exc:
+        last_error = f"probe {type(exc).__name__}: {exc}"
+        log.warning("beam_gen_attention compile probe failed (%s)", last_error)
+        _probe_ok[key] = False
+    return _probe_ok[key]
+
+
 @partial(jax.jit, static_argnames=("layer", "k", "nh", "vb"))
-def _run(t_arr, q, gkv, pk, pv, valid, anc, hmask, layer: int, k: int,
+def _run(t_arr, q, gkv, pk, pv, valid, anc, layer: int, k: int,
          nh: int, vb: int, k_new=None, v_new=None):
     r, h = q.shape
     n = gkv.shape[1]
@@ -152,9 +230,8 @@ def _run(t_arr, q, gkv, pk, pv, valid, anc, hmask, layer: int, k: int,
         pl.BlockSpec((1, vb, s0, h), lambda iv, t: (layer, iv, 0, 0)),
         pl.BlockSpec((vb, s0), lambda iv, t: (iv, 0)),
         pl.BlockSpec((rb, n), lambda iv, t: (iv, 0)),
-        pl.BlockSpec((nh, h), lambda iv, t: (0, 0)),
     ]
-    args = [t_arr, q, gkv, pk, pv, valid, anc, hmask]
+    args = [t_arr, q, gkv, pk, pv, valid, anc]
     if deferred:
         in_specs += [pl.BlockSpec((rb, h), lambda iv, t: (iv, 0)),
                      pl.BlockSpec((rb, h), lambda iv, t: (iv, 0))]
@@ -179,7 +256,8 @@ def beam_gen_attention(
     prefill_valid: jax.Array,  # [B, S0] int32
     anc: jax.Array,          # [R, N] int32 ancestry (global row per column)
     t: jax.Array,            # scalar int32 current step
-    hmask: jax.Array,        # [nh, H] head-block mask in compute dtype
+    hmask: jax.Array,        # [nh, H] head-block mask (unused: the kernel
+                             # rebuilds it from iota; kept for caller compat)
     layer: int,
     num_beams: int,
     nh: int,
@@ -207,13 +285,16 @@ def beam_gen_attention(
     if vb is None or h % 128:
         last_backend = "xla"
         return None
+    if not _compile_probe(k_new is not None):
+        last_backend = "xla"
+        return None
     try:
         t_arr = jnp.asarray(t, jnp.int32).reshape(1)
         kn = None if k_new is None else k_new.astype(q.dtype)
         vn = None if v_new is None else v_new.astype(q.dtype)
         out = _run(t_arr, q, gkv_all, pk_all, pv_all,
                    prefill_valid.astype(jnp.int32), anc.astype(jnp.int32),
-                   hmask.astype(q.dtype), layer, k, nh, vb,
+                   layer, k, nh, vb,
                    k_new=kn, v_new=vn)
         last_backend = "pallas"
         return out

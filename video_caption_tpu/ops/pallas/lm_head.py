@@ -92,6 +92,32 @@ def _chunking(vp: int):
     return None, None
 
 
+_probe_ok: Optional[bool] = None
+
+
+def _compile_probe() -> bool:
+    """Eagerly compile the kernel once at tiny shapes (see
+    beam_attention._compile_probe: Mosaic lowering failures surface at the
+    enclosing program's compile where the trace-time fallback cannot catch
+    them). One tiny compile per process."""
+    from video_caption_tpu.ops.pallas.platform import _interpret_mode_forced
+    if _interpret_mode_forced():
+        return True
+    global _probe_ok, last_error
+    if _probe_ok is not None:
+        return _probe_ok
+    try:
+        out = _run(jnp.zeros((8, 128), jnp.bfloat16),
+                   jnp.zeros((128, 256), jnp.bfloat16), 250)
+        jax.block_until_ready(out)
+        _probe_ok = True
+    except Exception as exc:
+        last_error = f"probe {type(exc).__name__}: {exc}"
+        log.warning("lm_head_stats compile probe failed (%s)", last_error)
+        _probe_ok = False
+    return _probe_ok
+
+
 @partial(jax.jit, static_argnames=("vocab_size",))
 def _run(x: jax.Array, wte_t: jax.Array, vocab_size: int):
     r, h = x.shape
@@ -144,6 +170,9 @@ def lm_head_stats(
     r, h = x.shape
     vp = wte_t.shape[1]
     if vp % WINDOW or r % 8 or h % 128:
+        last_backend = "xla"
+        return None
+    if not _compile_probe():
         last_backend = "xla"
         return None
     try:
