@@ -145,17 +145,19 @@ class CompileConfig:
     jit dispatch machinery (signature hashing, arg tree matching). The
     serialized StableHLO artifact (the "engine file") can also be exported
     via aot.export_request_program for inspection/portability."""
-    unified_decode: bool = _env_bool("VIDEO_CAPTION_UNIFIED_DECODE", False)
+    unified_decode: bool = _env_bool("VIDEO_CAPTION_UNIFIED_DECODE", True)
     """Decode EVERY policy group of a request batch in one compiled program
     (decode/unified.py, SURVEY §7 hard part 6): the per-step GPT-2 weight
     streaming is shared across the beam and sampled presets instead of paid
     once per group. Token outputs are identical to the grouped path. Ignored
     (grouped fallback) when only one policy group exists, under
     early_stop_decode, or with the experimental fused decode-layer kernel.
-    Off by default pending optimization: profiled v1 at bs=64 ran 394 ms vs
-    324 ms grouped — the per-group cache row-slices (pkv/gkv[layer, a:b])
-    materialize ~2.8 ms/step of copies that the whole-buffer grouped reads
-    don't pay (reports/: hlo_stats trace 2026-08-17)."""
+    ON by default since the kernel fixes of 2026-08-18: with the beam
+    attention + lm_head kernels compiling on-chip (and the lm_head VMEM
+    chunking aware of the unified row count), the unified program measured
+    189.7 ms vs 209.2 ms grouped at bs=64 (median of 5, v5e). The earlier
+    v1 measurement (394 vs 324 ms) predated the uniform-K rework and the
+    decode kernels."""
 
 
 @dataclass(frozen=True)

@@ -83,12 +83,24 @@ def _kernel(x_ref, w_ref, logits_ref, wmax_ref, m_ref, l_ref, *,
         m_ref[:] = m_new
 
 
-def _chunking(vp: int):
-    """(n_chunks, v_chunk): a 128-multiple divisor of vp keeping (wte chunk
-    x2 + logits chunk x2 + x) within ~12 MB of VMEM."""
+def _chunking(vp: int, r: int, h: int = 768):
+    """(n_chunks, v_chunk): a 128-multiple divisor of vp whose VMEM stack
+    footprint fits the 16 MB scoped limit. The estimate is calibrated
+    against the compiler's own accounting (v5e reported 17.04M for
+    r=576/vc=1408: double-buffered wte + logits blocks, ~3 logits-sized
+    live buffers, 2 x-sized, the sweep-resident wmax block): the grouped
+    decode's r=384/vc=1408 fits, the unified program's r=576 needs a
+    narrower chunk — without this, the kernel VMEM-OOMs the whole unified
+    compile."""
     for cand in (1408, 1152, 1536, 2816, 1024, 896, 768, 512, 384, 256, 128):
-        if vp % cand == 0:
-            return vp // cand, cand
+        if vp % cand:
+            continue
+        n_chunks = vp // cand
+        nw_pad = -(-(cand // WINDOW) // 8) * 8
+        est = (2 * h * cand * 2 + 3 * r * cand * 4 + 2 * r * h * 2 +
+               n_chunks * nw_pad * r * 4 + (1 << 20))
+        if est <= int(14.5 * (1 << 20)):
+            return n_chunks, cand
     return None, None
 
 
@@ -122,7 +134,7 @@ def _compile_probe() -> bool:
 def _run(x: jax.Array, wte_t: jax.Array, vocab_size: int):
     r, h = x.shape
     vp = wte_t.shape[1]
-    n_chunks, v_chunk = _chunking(vp)
+    n_chunks, v_chunk = _chunking(vp, r, h)
     if v_chunk is None:
         return None
     nw_c = v_chunk // WINDOW
@@ -182,7 +194,7 @@ def lm_head_stats(
             return None
         logits, wmax_t, m, l = out
         # [n_chunks*nw_pad, R] -> drop per-chunk pad rows -> [R, W]
-        n_chunks = _chunking(vp)[0]
+        n_chunks = _chunking(vp, r, h)[0]
         nw_pad = wmax_t.shape[0] // n_chunks
         nw_c = vp // WINDOW // n_chunks
         wmax = wmax_t.reshape(n_chunks, nw_pad, r)[:, :nw_c, :]
