@@ -26,15 +26,31 @@ prefix = eng._prefix_fn(eng.params, video)
 jax.block_until_ready(prefix)
 
 _, group_list, _ = eng._fused_infer_program()
-if stage == "beam":
-    dp, idxs, ids_arr, mask_arr = group_list[0]
-else:
-    dp, idxs, ids_arr, mask_arr = group_list[-1]
-print("profiling group:", dp, "rows:", len(idxs))
 key = jax.random.PRNGKey(0)
+if stage == "unified":
+    # the serving-default path since 2026-08-18: one program for all groups
+    from video_caption_tpu.decode.unified import generate_unified
+
+    dps = tuple(g[0] for g in group_list)
+    prompts = tuple((jnp.asarray(g[2]), jnp.asarray(g[3])) for g in group_list)
+    rngs = tuple(jax.random.PRNGKey(17 + i) for i in range(len(group_list)))
+
+    def run():
+        return generate_unified(eng.params["decoder"], eng.model_cfg.gpt2,
+                                prefix, prompts, dps, rngs)[0]
+    print("profiling unified over", len(group_list), "groups")
+else:
+    if stage == "beam":
+        dp, idxs, ids_arr, mask_arr = group_list[0]
+    else:
+        dp, idxs, ids_arr, mask_arr = group_list[-1]
+    print("profiling group:", dp, "rows:", len(idxs))
+
+    def run():
+        return eng.run_decode_group(prefix, dp, ids_arr, mask_arr, key)
 
 # warm (compile)
-out = eng.run_decode_group(prefix, dp, ids_arr, mask_arr, key)
+out = run()
 np.asarray(out.ravel()[:1])
 
 import time
@@ -43,7 +59,7 @@ trace_dir = "/tmp/beam_trace"
 with jax.profiler.trace(trace_dir):
     for _ in range(3):
         t0 = time.perf_counter()
-        out = eng.run_decode_group(prefix, dp, ids_arr, mask_arr, key)
+        out = run()
         np.asarray(out.ravel()[:1])
         print("iter %.1f ms" % ((time.perf_counter() - t0) * 1e3))
 

@@ -145,19 +145,21 @@ class CompileConfig:
     jit dispatch machinery (signature hashing, arg tree matching). The
     serialized StableHLO artifact (the "engine file") can also be exported
     via aot.export_request_program for inspection/portability."""
-    unified_decode: bool = _env_bool("VIDEO_CAPTION_UNIFIED_DECODE", True)
+    unified_decode: bool = _env_bool("VIDEO_CAPTION_UNIFIED_DECODE", False)
     """Decode EVERY policy group of a request batch in one compiled program
     (decode/unified.py, SURVEY §7 hard part 6): the per-step GPT-2 weight
     streaming is shared across the beam and sampled presets instead of paid
     once per group. Token outputs are identical to the grouped path. Ignored
     (grouped fallback) when only one policy group exists, under
     early_stop_decode, or with the experimental fused decode-layer kernel.
-    ON by default since the kernel fixes of 2026-08-18: with the beam
-    attention + lm_head kernels compiling on-chip (and the lm_head VMEM
-    chunking aware of the unified row count), the unified program measured
-    189.7 ms vs 209.2 ms grouped at bs=64 (median of 5, v5e). The earlier
-    v1 measurement (394 vs 324 ms) predated the uniform-K rework and the
-    decode kernels."""
+    OFF by default on MEASURED evidence (v5e bs=64, 2026-08-18, interleaved
+    same-process trials with the decode kernels compiling on-chip): under
+    per-program sync timing unified wins (190 vs 209 ms), but the engine
+    DISPATCHES ITS GROUP PROGRAMS ASYNC back-to-back, and that pipelined
+    grouped path runs 168 ms — the sync A/B was charging grouped for host
+    dispatch gaps the engine never pays. Unified's uniform-K dead rows
+    (576 rows vs 448 live: sampled instances ride as K_max=3) cost more
+    than the shared weight stream saves at this geometry."""
 
 
 @dataclass(frozen=True)
