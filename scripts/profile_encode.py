@@ -5,7 +5,10 @@ Same harness as profile_beam.py but for the prefix/encode stage — used to
 attribute the gap between the measured 55.9% MFU and the matmul roofline
 (VERDICT r2 weak #8: padding waste, layout copies, non-matmul self time).
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -42,8 +45,8 @@ import glob
 
 from xprof.convert import raw_to_tool_data as rtd
 
-paths = glob.glob(trace_dir + "/**/*.xplane.pb", recursive=True)
-print("xplane:", paths)
+paths = sorted(glob.glob(trace_dir + "/**/*.xplane.pb", recursive=True), key=os.path.getmtime)
+print("xplane:", paths[-1])
 data, ctype = rtd.xspace_to_tool_data([paths[-1]], "hlo_stats", {})
 if isinstance(data, bytes):
     data = data.decode()
@@ -51,33 +54,7 @@ with open(out_csv, "w") as f:
     f.write(data)
 print("wrote", out_csv)
 
-import csv
-import io
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from hlo_stats_util import parse_hlo_stats, print_hlo_stats
 
-rows = list(csv.DictReader(io.StringIO(data)))
-key_col = None
-for cand in ("Total Self Time (us)", "total_self_time_us", "Self time (us)"):
-    if rows and cand in rows[0]:
-        key_col = cand
-        break
-if key_col is None and rows:
-    print("columns:", list(rows[0].keys()))
-else:
-    rows.sort(key=lambda r: -float(r[key_col] or 0))
-    tot = sum(float(r[key_col] or 0) for r in rows)
-    print(f"total self time: {tot/1e3:.1f} ms over 3 iters")
-    # aggregate by category too
-    by_cat = {}
-    for r in rows:
-        cat = (r.get("HLO Op Category") or r.get("hlo_category") or "?")
-        by_cat[cat] = by_cat.get(cat, 0.0) + float(r[key_col] or 0)
-    print("--- by category (ms over 3 iters) ---")
-    for cat, us in sorted(by_cat.items(), key=lambda kv: -kv[1]):
-        print(f"{us/1e3:8.2f} ms  {cat}")
-    print("--- top 25 ops ---")
-    for r in rows[:25]:
-        name = (r.get("HLO Op Name") or r.get("hlo_op_name") or "?")[:60]
-        cat = (r.get("HLO Op Category") or r.get("hlo_category") or "?")[:28]
-        exp = (r.get("HLO Op Expression") or r.get("hlo_op_expression") or "")[:140]
-        print(f"{float(r[key_col])/1e3:8.2f} ms  {cat:28s} {name}")
-        print(f"           {exp}")
+print_hlo_stats(parse_hlo_stats(data), iters=3)

@@ -206,29 +206,43 @@ def greedy_or_sample(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    def step(carry, t):
-        last_logits, last_wmax, cache, valid, generated, finished, rng = carry
-        token, generated, finished, rng = sample_select(
-            last_logits, generated, finished, t, dp, rng, wmax=last_wmax
-        )
+    # FORWARD-THEN-SELECT loop order: token t's selection runs in the SAME
+    # step as the forward that produced its logits, and the scan carries only
+    # the token — not the [B, Vp] logits. The earlier select-then-forward
+    # body (a) carried the full-vocab logits across the scan back-edge,
+    # whose layout disagreement between the LM head (row-major) and the
+    # selection's window view forced a full relayout copy per step
+    # (hlo_stats v5e bs=64: copy.506/507 ~220us/step of the beam program),
+    # and (b) ran one final forward whose logits nobody consumed — 1/N of
+    # the whole decode wasted. Token outputs are bit-identical: same ops in
+    # the same per-token order, minus the discarded forward.
+    token0, generated, finished, rng = sample_select(
+        last_logits, generated, finished, jnp.int32(0), dp, rng, wmax=last_wmax
+    )
 
-        # feed the token back for the next step's logits; position ids count
-        # only real tokens per row (left-padded batching)
-        embeds = gpt2_params["wte"][token][:, None, :]
-        positions = (row_len + t)[:, None]
-        valid = jax.lax.dynamic_update_slice(valid, jnp.ones((b, 1), jnp.int32), (0, s0 + t))
-        (logits_new, wmax_new, _, _), cache = g2.gpt2_forward(
-            gpt2_params, embeds, positions, valid, cache, s0 + t, gpt2_cfg,
+    def step(carry, t):
+        token_prev, cache, valid, generated, finished, rng = carry
+        # feed the previous token in; position ids count only real tokens
+        # per row (left-padded batching); its K/V lands at column s0 + t - 1
+        embeds = gpt2_params["wte"][token_prev][:, None, :]
+        positions = (row_len + t - 1)[:, None]
+        valid = jax.lax.dynamic_update_slice(
+            valid, jnp.ones((b, 1), jnp.int32), (0, s0 + t - 1))
+        (logits, wmax, _, _), cache = g2.gpt2_forward(
+            gpt2_params, embeds, positions, valid, cache, s0 + t - 1, gpt2_cfg,
             wte_t=wte_t, return_stats=True, row_stats=False,
         )
-        return (logits_new, wmax_new, cache, valid, generated, finished, rng), None
+        token, generated, finished, rng = sample_select(
+            logits, generated, finished, t, dp, rng, wmax=wmax
+        )
+        return (token, cache, valid, generated, finished, rng), None
 
-    carry = (last_logits, last_wmax, cache, valid, generated, finished, rng)
+    carry = (token0, cache, valid, generated, finished, rng)
     if dp.early_stop:
         # while_loop exits once every row finished (per-sample finished-mask
         # semantics of benchmark_baseline.py:212-224 plus a whole-batch stop)
         def cond(state):
-            t, (_, _, _, _, _, fin, _) = state
+            t, (_, _, _, _, fin, _) = state
             return (t < n) & ~jnp.all(fin)
 
         def body(state):
@@ -236,10 +250,10 @@ def greedy_or_sample(
             c, _ = step(c, t)
             return t + 1, c
 
-        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(1), carry))
     else:
-        carry, _ = jax.lax.scan(step, carry, jnp.arange(n, dtype=jnp.int32))
-    return carry[4]
+        carry, _ = jax.lax.scan(step, carry, jnp.arange(1, n, dtype=jnp.int32))
+    return carry[3]
 
 
 def beam_select(
@@ -390,30 +404,37 @@ def beam_search(
     fin_scores = jnp.full((b, k), -jnp.inf, jnp.float32)
     fin_seqs = jnp.full((b, k, n), dp.eos_id, jnp.int32)
 
-    def step(carry, t):
-        (last_logits, last_wmax, last_m, last_l), gen_cache, anc, \
-            beam_scores, generated, fin_scores, fin_seqs = carry
-        new_token, flat_parent, new_scores, new_gen, new_fin_scores, new_fin_seqs = \
-            beam_select(last_logits, beam_scores, generated, fin_scores, fin_seqs,
-                        t, dp, k, stats=(last_wmax, last_m, last_l))
-        anc = anc[flat_parent]
-        anc = anc.at[:, t].set(jnp.arange(r, dtype=jnp.int32))
+    # FORWARD-THEN-SELECT loop order (see greedy_or_sample): the scan carries
+    # the selected token instead of the [R, Vp] logits + stats, the step-0
+    # selection runs on the prefill stats outside the loop, and the final
+    # (discarded) forward of the select-then-forward form is never executed.
+    new_token, flat_parent, beam_scores, generated, fin_scores, fin_seqs = \
+        beam_select(last_logits, beam_scores, generated, fin_scores, fin_seqs,
+                    jnp.int32(0), dp, k, stats=(last_wmax, last_m, last_l))
+    anc = anc[flat_parent].at[:, 0].set(jnp.arange(r, dtype=jnp.int32))
 
-        # next-step logits; position ids count only real tokens per row
-        embeds = gpt2_params["wte"][new_token.reshape(-1)]
-        positions = row_len_flat + t
-        stats_new, gen_cache = g2.gpt2_beam_step(
+    def step(carry, t):
+        token_prev, gen_cache, anc, beam_scores, generated, fin_scores, fin_seqs = carry
+        # forward of token t-1: its K/V lands at gen column t-1, attention
+        # sees columns <= t-1; position ids count only real tokens per row
+        embeds = gpt2_params["wte"][token_prev.reshape(-1)]
+        positions = row_len_flat + t - 1
+        (logits, wmax, m, l), gen_cache = g2.gpt2_beam_step(
             gpt2_params, embeds, positions, prefill_cache, prefill_valid,
-            gen_cache, anc, t, k, gpt2_cfg, wte_t=wte_t, return_stats=True,
+            gen_cache, anc, t - 1, k, gpt2_cfg, wte_t=wte_t, return_stats=True,
         )
+        new_token, flat_parent, beam_scores, generated, fin_scores, fin_seqs = \
+            beam_select(logits, beam_scores, generated, fin_scores, fin_seqs,
+                        t, dp, k, stats=(wmax, m, l))
+        anc = anc[flat_parent].at[:, t].set(jnp.arange(r, dtype=jnp.int32))
         carry = (
-            stats_new, gen_cache, anc, new_scores, new_gen,
-            new_fin_scores, new_fin_seqs,
+            new_token, gen_cache, anc, beam_scores, generated,
+            fin_scores, fin_seqs,
         )
         return carry, None
 
-    carry = ((last_logits, last_wmax, last_m, last_l), gen_cache, anc,
-             beam_scores, generated, fin_scores, fin_seqs)
+    carry = (new_token, gen_cache, anc, beam_scores, generated,
+             fin_scores, fin_seqs)
     if dp.early_stop:
         # HF is_done (early_stopping=False): a batch is done when its K
         # finished hypotheses all beat the best running beam's attainable
@@ -431,9 +452,9 @@ def beam_search(
             c, _ = step(c, t)
             return t + 1, c
 
-        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(1), carry))
     else:
-        carry, _ = jax.lax.scan(step, carry, jnp.arange(n, dtype=jnp.int32))
+        carry, _ = jax.lax.scan(step, carry, jnp.arange(1, n, dtype=jnp.int32))
     _, _, _, beam_scores, generated, fin_scores, fin_seqs = carry
     return beam_finalize(beam_scores, generated, fin_scores, fin_seqs, n)
 

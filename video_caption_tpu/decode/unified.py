@@ -147,8 +147,10 @@ def generate_unified(
     row_len_rows = jnp.repeat(row_len, k_max, axis=0)       # [R_tot]
     gen_cache = g2.init_cache(gpt2_cfg, r_tot, n_max, layout="beam_gen")
 
-    def step(carry, t):
-        (last_logits, last_wmax, last_m, last_l), gen_kv, anc, states = carry
+    def select_all(stats, anc, states, t):
+        """One selection pass over every group (the non-forward half of the
+        step). Returns (token_vec [R_tot], new anc, new states)."""
+        last_logits, last_wmax, last_m, last_l = stats
         tokens, anc_parts, new_states = [], [], []
         i_off = 0
         for g, dp in enumerate(dps):
@@ -201,20 +203,32 @@ def generate_unified(
             tokens.append(tok_blk.reshape(-1))
             anc_parts.append(anc_new.reshape(rg, n_max))
             i_off += i
-        token_vec = jnp.concatenate(tokens)
-        anc = jnp.concatenate(anc_parts, axis=0)
-        embeds = wte[token_vec]
-        positions = row_len_rows + t
-        stats_new, new_cache = g2.gpt2_beam_step(
+        return (jnp.concatenate(tokens), jnp.concatenate(anc_parts, axis=0),
+                tuple(new_states))
+
+    # FORWARD-THEN-SELECT loop order (generate.greedy_or_sample docstring):
+    # the step-0 selection runs on the prefill stats outside the loop, the
+    # scan carries only the token vector (not the [R_tot, Vp] logits + stats
+    # whose back-edge layout forced a full relayout copy per step), and the
+    # final discarded forward of the select-then-forward form never runs.
+    token_vec, anc, states = select_all(
+        (last_logits, last_wmax, last_m, last_l), anc0, tuple(states),
+        jnp.int32(0))
+
+    def step(carry, t):
+        token_prev, gen_kv, anc, states = carry
+        embeds = wte[token_prev]
+        positions = row_len_rows + t - 1
+        stats, new_cache = g2.gpt2_beam_step(
             gpt2_params, embeds, positions, prefill_cache, prefill_valid,
-            {"kv": gen_kv}, anc, t, k_max, gpt2_cfg, wte_t=wte_t,
+            {"kv": gen_kv}, anc, t - 1, k_max, gpt2_cfg, wte_t=wte_t,
             return_stats=True,
         )
-        return (stats_new, new_cache["kv"], anc, tuple(new_states)), None
+        token_vec, anc, states = select_all(stats, anc, states, t)
+        return (token_vec, new_cache["kv"], anc, states), None
 
-    carry = ((last_logits, last_wmax, last_m, last_l), gen_cache["kv"],
-             anc0, tuple(states))
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(n_max, dtype=jnp.int32))
+    carry = (token_vec, gen_cache["kv"], anc, states)
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(1, n_max, dtype=jnp.int32))
     states = carry[-1]
 
     outs = []

@@ -56,6 +56,13 @@ class ViTConfig:
     enable_mlp_bias_gelu_fusion default True), so its inference path runs
     tanh-GELU — matching it is required for encoder parity. Set False for
     parity with stock timm/HF ViT (exact erf GELU)."""
+    gelu_f32: bool = True
+    """Compute the MLP GELU in fp32 (cast up around the transcendental).
+    The f32 tanh epilogue runs on the VPU while the MXU streams the MLP
+    matmul tiles; if the VPU side is the slower pipe it caps the fusion
+    below the matmul roofline. False = evaluate GELU in the compute dtype
+    (bf16): ~1e-2 relative activation noise, inside the deployment
+    bf16-vs-fp32 alignment budget — measured before flipping any default."""
 
     @property
     def num_patches(self) -> int:
@@ -161,7 +168,10 @@ def _block(x: jax.Array, blk: Params, cfg: ViTConfig) -> jax.Array:
     x = x + _attention(_layer_norm(x, blk["ln1_scale"], blk["ln1_bias"]), blk, cfg)
     y = _layer_norm(x, blk["ln2_scale"], blk["ln2_bias"])
     y = y @ blk["fc1_w"].astype(x.dtype) + blk["fc1_b"].astype(x.dtype)
-    y = jax.nn.gelu(y.astype(jnp.float32), approximate=cfg.gelu_approx).astype(x.dtype)
+    if cfg.gelu_f32:
+        y = jax.nn.gelu(y.astype(jnp.float32), approximate=cfg.gelu_approx).astype(x.dtype)
+    else:
+        y = jax.nn.gelu(y, approximate=cfg.gelu_approx)
     y = y @ blk["fc2_w"].astype(x.dtype) + blk["fc2_b"].astype(x.dtype)
     return x + y
 
