@@ -112,8 +112,15 @@ def check_alignment(image_size: int = 224, num_frames: int = 4, seed: int = 0) -
             gpt_off, use_pallas_lm_head=True, use_pallas_beam_attention=True)
         dp = DecodeParams(max_new_tokens=6, num_beams=4, min_new_tokens=2,
                           eos_id=gpt_off.vocab_size - 1)
+        # On TPU the batch MUST put the beam row count past 256: integer
+        # one-hot dots inside Mosaic kernels are only exact for values
+        # <= 256 (bf16-mantissa passes), and the ancestry-expansion bug
+        # that corrupted rows > 256 at the production bs=64 (R=384) was
+        # invisible to this gate at its original 2x4=8 rows (caught
+        # 2026-08-18 by a standalone kernel-vs-XLA sweep instead).
+        emb_batch = 72 if on_tpu else 2          # 72 x 4 beams = 288 rows
         emb = jax.random.normal(jax.random.PRNGKey(5),
-                                (2, 5, gpt_off.n_embd)) * 0.02
+                                (emb_batch, 5, gpt_off.n_embd)) * 0.02
         ids_off = np.asarray(generate(dec_params, gpt_off, emb, dp))
         if on_tpu:
             ids_on = np.asarray(generate(dec_params, gpt_on, emb, dp))

@@ -12,13 +12,13 @@ to the DEFAULT layout, so routing the attention reads through this kernel
 forces the scan carry to (R, H)-minor — the per-step dynamic_update_slice
 then covers whole (8,128) tiles.
 
-Per (video-block, layer) the kernel runs the whole chain on-core: expand
-queries head-blocked ([K*nh, H] rows zeroed outside their own head's
-H-slice, bit-zero cross-head terms — same trick as _beam_attend), compute
-prefill + generated logits, apply the left-pad and ancestry masks, softmax
-in f32, and contract against V. The layer index is STATIC per call (the
-step's layer loop is python-unrolled), so the kernel takes the full stacked
-caches and block-indexes its layer — no XLA-side slice materialization.
+Per (video-block, layer) the kernel runs the whole chain on-core: one loop
+over heads (lane slices, the encoder kernel's pattern) computes prefill +
+generated logits for the WHOLE block, applies the left-pad and ancestry
+masks (built once, shared by all heads), softmaxes in f32 and contracts
+against V. The layer index is STATIC per call (the step's layer loop is
+python-unrolled), so the kernel takes the full stacked caches and
+block-indexes its layer — no XLA-side slice materialization.
 
 Numerics: f32 logit accumulation, -1e30 masking, f32 softmax — the same
 formula as _beam_attend; dot order differs (per-video dots vs one batched
@@ -51,124 +51,124 @@ _NEG = -1e30
 def _kernel(t_ref, q_ref, gkv_ref, pk_ref, pv_ref, valid_ref, anc_ref,
             *refs, layer: int, vb: int, k: int, nh: int,
             s0: int, n: int, scale: float, deferred: bool):
+    """Per-HEAD loop over the whole video block (the encoder kernel's
+    lane-slice pattern). The first version looped per VIDEO with
+    head-blocked [K*nh, H] queries — full-H contractions cost 12x the dense
+    FLOPs and measured 155us/call vs a ~60-70us DMA floor at bs=64
+    (hlo_stats v5e 2026-08-18). Here the masks are built ONCE on [rb, *]
+    rows (shared by all heads) and each head runs four well-shaped dots:
+    [rb,hd] x [hd, vb*S0 | N*rb] logits and the transposed AV pair — real
+    FLOPs only, no query expansion, no head-merge matmul.
+
+    Masks stay strictly 2D via iota arithmetic + one-hot dots (Mosaic
+    rejects the lane-dim shape casts the XLA path writes as reshapes).
+    CRITICAL exactness rule: Mosaic's f32 dot multiplies in bf16-mantissa
+    passes, so INTEGER-VALUED one-hot contractions are only exact for
+    values <= 256. The ancestry expansion violated that at production batch
+    (R=384: rows > 256 got rounded ancestries -> wrong attention masks,
+    found 2026-08-18 vs the XLA path, max_abs 1.1); indices are now split
+    into hi/lo < 128 components, expanded separately, and recombined in
+    f32 — exact under any pass scheme. {0,1}-valued one-hot dots (the
+    prefill-validity expansion) are exact as-is."""
     if deferred:
         knew_ref, vnew_ref, o_ref = refs
     else:
         (o_ref,) = refs
     t = t_ref[0]
-    q = q_ref[:]                        # [vb*K, H] bf16
-    gkv = gkv_ref[:][0]                 # [N, 2, vb*K, H]
+    q = q_ref[:]                        # [rb = vb*K, H] bf16
+    gkv = gkv_ref[:][0]                 # [N, 2, rb, H]
     pk = pk_ref[:][0]                   # [vb, S0, H]
     pv = pv_ref[:][0]
-    valid = valid_ref[:]                # [vb, S0] i32
-    anc = anc_ref[:]                    # [vb*K, N] i32
     h = q.shape[-1]
+    rb = q.shape[0]
     dt = q.dtype
     hd = h // nh
-    kn2 = k * nh
 
     iv = pl.program_id(0)
-    row0_global = iv * vb * k           # first global row of this block
 
-    # Everything below stays strictly 2D. The expand/merge steps the XLA
-    # path writes as reshapes — (K,nh,H)<->(K*nh,H), (N,K,H)->(N*K,H), and
-    # the (K,N,K)->(K,N*K) ancestry-mask flatten — are vector shape casts
-    # Mosaic refuses on these minor-dim shapes (v5e aborted compilation
-    # with "infer-vector-layout: unsupported shape cast" on the i1 one).
-    # Instead: iota arithmetic for masks and one-hot matmuls for the
-    # row expansions/merges. Each one-hot contraction has exactly one
-    # nonzero term per output element, so it is bit-exact.
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (kn2, h), 0)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (kn2, h), 1)
-    hmask_rep = col_i // hd == row_i % nh              # [K*nh, H] head blocks
-    eq = (jax.lax.broadcasted_iota(jnp.int32, (kn2, k), 0) // nh ==
-          jax.lax.broadcasted_iota(jnp.int32, (kn2, k), 1)
-          ).astype(jnp.float32)                        # [K*nh, K] one-hot
-    eq_t = (jax.lax.broadcasted_iota(jnp.int32, (k, kn2), 1) // nh ==
-            jax.lax.broadcasted_iota(jnp.int32, (k, kn2), 0)
-            ).astype(jnp.float32)                      # [K, K*nh] one-hot
-    nn_i = jax.lax.broadcasted_iota(jnp.int32, (kn2, n), 1)      # [K*nh, N]
-    # STRICTLY < t in deferred mode — column t is stale; the self column
-    # appended below covers it
-    t_ok = (nn_i < t) if deferred else (nn_i <= t)
+    # flatten the caches over their MAJOR dims (layout-trivial: the merged
+    # second-minor dims s0 and rb are sublane multiples)
+    pkf = pk.reshape(vb * s0, h)        # [vb*S0, H]
+    pvf = pv.reshape(vb * s0, h)
+    gkf = gkv[:, 0].reshape(n * rb, h)  # [N*rb, H]
+    gvf = gkv[:, 1].reshape(n * rb, h)
 
-    def expand_rows(xk):
-        """[K, H] -> [K*nh, H] f32; row kq*nh+hh carries xk[kq] (exact)."""
-        return jax.lax.dot_general(
-            eq, xk.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    # ---- prefill mask [rb, vb*S0], shared by all heads: row r (video r//K)
+    # attends col c iff c//S0 == r//K and valid[c//S0, c%S0]
+    cs = vb * s0
+    valid01 = (valid_ref[:] > 0).astype(jnp.float32)             # [vb, S0]
+    pos_onehot = (jax.lax.broadcasted_iota(jnp.int32, (s0, cs), 1) % s0 ==
+                  jax.lax.broadcasted_iota(jnp.int32, (s0, cs), 0)
+                  ).astype(jnp.float32)
+    vx = jax.lax.dot_general(valid01, pos_onehot, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [vb, cs]
+    vid_c = jax.lax.broadcasted_iota(jnp.int32, (vb, cs), 1) // s0
+    vm = vx * (vid_c == jax.lax.broadcasted_iota(jnp.int32, (vb, cs), 0)
+               ).astype(jnp.float32)
+    eq_vid = (jax.lax.broadcasted_iota(jnp.int32, (rb, vb), 0) // k ==
+              jax.lax.broadcasted_iota(jnp.int32, (rb, vb), 1)
+              ).astype(jnp.float32)
+    mask_p = jax.lax.dot_general(eq_vid, vm, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) > 0.5
 
-    for v in range(vb):
-        qv = q[v * k:(v + 1) * k, :]                             # [K, H]
-        # head-blocked expansion: row (kq*nh + hh) is qv[kq] zeroed outside
-        # head hh's H-slice
-        q_exp = jnp.where(hmask_rep, expand_rows(qv), 0.0).astype(dt)
+    # ---- gen mask [rb, N*rb]: col c = nn*rb + pr is attendable by row r
+    # iff anc[r, nn] == row0_global + pr (the writer is this row's ancestor)
+    # and nn <= t (< t in deferred mode — column t is stale; the self
+    # column below covers it)
+    cg = n * rb
+    exp_nn = (jax.lax.broadcasted_iota(jnp.int32, (n, cg), 1) // rb ==
+              jax.lax.broadcasted_iota(jnp.int32, (n, cg), 0)
+              ).astype(jnp.float32)
+    anc_i = anc_ref[:]                                           # [rb, N] i32
+    anc_hi = (anc_i // 128).astype(jnp.float32)
+    anc_lo = (anc_i % 128).astype(jnp.float32)
+    anc_exp = 128.0 * jax.lax.dot_general(
+        anc_hi, exp_nn, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + jax.lax.dot_general(
+        anc_lo, exp_nn, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                      # [rb, cg]
+    col_pr = (jax.lax.broadcasted_iota(jnp.int32, (rb, cg), 1) % rb
+              ).astype(jnp.float32)
+    col_nn = jax.lax.broadcasted_iota(jnp.int32, (rb, cg), 1) // rb
+    row0 = (iv * rb).astype(jnp.float32)
+    t_ok = (col_nn < t) if deferred else (col_nn <= t)
+    mask_g = (anc_exp == row0 + col_pr) & t_ok
 
-        lg_p = jax.lax.dot_general(
-            q_exp, pk[v], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale                                                # [K*nh, S0]
-        lg_p = jnp.where((valid[v, :] > 0)[None, :], lg_p, _NEG)
-
-        # ancestry expanded to query rows: anc_rep[row, nn] = anc[row//nh, nn]
-        # (row indices < R <= a few hundred — exact in f32)
-        anc_rep = jax.lax.dot_general(
-            eq, anc[v * k:(v + 1) * k, :].astype(jnp.float32),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # [K*nh, N]
-        base = row0_global + v * k
-
-        # generated region, one 2D slab per beam slot kv: query beam kq may
-        # attend slot kv's gen column nn iff anc[kq, nn] == base + kv.
-        # The parts are NEVER concatenated — Mosaic rejects lane-misaligned
-        # tpu.concatenate (S0/N offsets aren't 128-multiples) — the softmax
-        # runs jointly across parts via a shared row max + partial sums
-        # (same x-max/exp/normalize formula; denominator summation order
-        # differs from a flat softmax by f32 rounding only).
-        parts = [lg_p]
-        gvs = []
-        for kv in range(k):
-            gk_kv = gkv[:, 0, v * k + kv, :]                     # [N, H]
-            gvs.append(gkv[:, 1, v * k + kv, :])
-            lg_kv = jax.lax.dot_general(
-                q_exp, gk_kv, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale                                            # [K*nh, N]
-            sel_kv = (anc_rep == (base + kv).astype(jnp.float32)) & t_ok
-            parts.append(jnp.where(sel_kv, lg_kv, _NEG))
+    for hh in range(nh):
+        sl = slice(hh * hd, (hh + 1) * hd)
+        qh = q[:, sl]                                            # [rb, hd]
+        lp = jax.lax.dot_general(
+            qh, pkf[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale          # [rb, cs]
+        lp = jnp.where(mask_p, lp, _NEG)
+        lg = jax.lax.dot_general(
+            qh, gkf[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale          # [rb, cg]
+        lg = jnp.where(mask_g, lg, _NEG)
+        m = jnp.maximum(lp.max(axis=-1, keepdims=True),
+                        lg.max(axis=-1, keepdims=True))          # [rb, 1]
         if deferred:
-            # self column: each row attends only its OWN new K (anc[:, t]
-            # is the identity) — a rowwise dot over H
-            kn_exp = expand_rows(knew_ref[v * k:(v + 1) * k, :])
-            ls = jnp.sum(q_exp.astype(jnp.float32) * kn_exp, axis=-1,
-                         keepdims=True) * scale                  # [K*nh, 1]
-            parts.append(ls)
-        m = parts[0].max(axis=-1, keepdims=True)
-        for p in parts[1:]:
-            m = jnp.maximum(m, p.max(axis=-1, keepdims=True))    # [K*nh, 1]
-        exps = [jnp.exp(p - m) for p in parts]
-        denom = exps[0].sum(axis=-1, keepdims=True)
-        for e in exps[1:]:
-            denom = denom + e.sum(axis=-1, keepdims=True)
-        inv = 1.0 / denom                                        # [K*nh, 1]
+            # self column: each row attends its OWN new K — a rowwise dot
+            ls = jnp.sum(qh.astype(jnp.float32) *
+                         knew_ref[:, sl].astype(jnp.float32),
+                         axis=-1, keepdims=True) * scale         # [rb, 1]
+            m = jnp.maximum(m, ls)
+        ep = jnp.exp(lp - m)
+        eg = jnp.exp(lg - m)
+        denom = ep.sum(axis=-1, keepdims=True) + eg.sum(axis=-1, keepdims=True)
+        if deferred:
+            es = jnp.exp(ls - m)
+            denom = denom + es
+        inv = 1.0 / denom                                        # [rb, 1]
         out = jax.lax.dot_general(
-            (exps[0] * inv).astype(dt), pv[v], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # [K*nh, H]
-        for kv in range(k):
-            out = out + jax.lax.dot_general(
-                (exps[1 + kv] * inv).astype(dt), gvs[kv],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            (ep * inv).astype(dt), pvf[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # [rb, hd]
+        out = out + jax.lax.dot_general(
+            (eg * inv).astype(dt), gvf[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         if deferred:
-            vn_exp = expand_rows(vnew_ref[v * k:(v + 1) * k, :])
-            out = out + (exps[-1] * inv).astype(dt).astype(jnp.float32) * vn_exp
-        # keep each row's own head block, re-merge heads (one nonzero row
-        # per output element after the mask -> exact)
-        out = jnp.where(hmask_rep, out, 0.0)
-        res = jax.lax.dot_general(
-            eq_t, out, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # [K, H]
-        o_ref[v * k:(v + 1) * k, :] = res.astype(o_ref.dtype)
+            out = out + (es * inv) * vnew_ref[:, sl].astype(jnp.float32)
+        o_ref[:, sl] = out.astype(o_ref.dtype)
 
 
 _probe_ok: dict = {}
