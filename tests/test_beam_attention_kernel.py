@@ -67,6 +67,35 @@ def test_beam_decode_tokens_match_xla_path():
     np.testing.assert_array_equal(np.asarray(ids_on), np.asarray(ids_off))
 
 
+def test_kernel_exact_past_row_256():
+    """Regression: ancestry row indices > 256 must survive the kernel's
+    one-hot expansion. On real TPUs Mosaic's f32 dot multiplies in
+    bf16-mantissa passes, so a direct integer one-hot contraction rounds
+    values > 256 (production bug at bs=64 / R=384, found 2026-08-18: rows
+    past 256 attended the wrong ancestors, max_abs 1.1 vs XLA). The kernel
+    now splits indices into hi/lo < 128 components. Interpret mode can't
+    reproduce the rounding itself, but this pins the hi/lo recombination
+    and block-offset arithmetic at a production-scale row count (R=288,
+    several grid blocks in)."""
+    cfg, q, gkv, pk, pv, valid, anc, t = _case(b=96, k=3, nh=2, hd=64,
+                                               s0=8, n=4, t_val=2, seed=3)
+    # make some ancestries point at the highest rows of their video so the
+    # >256 global indices are load-bearing
+    anc_np = np.array(anc)
+    anc_np[:, 1] = (np.arange(anc_np.shape[0]) // 3) * 3 + 2
+    anc = jnp.asarray(anc_np)
+    hmask = g2.head_block_mask(cfg)
+    sel = g2.ancestry_mask(anc, 96, 3, t)
+    ref = g2._beam_attend(q, pk[0], pv[0], gkv[0, :, 0], gkv[0, :, 1],
+                          valid, sel, hmask, 3, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        out = ba.beam_gen_attention(q, gkv, pk, pv, valid, anc, t,
+                                    hmask.astype(q.dtype), 0, 3, 2)
+    assert out is not None, ba.last_error
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_fallback_off_tpu():
     cfg, q, gkv, pk, pv, valid, anc, t = _case()
     hmask = g2.head_block_mask(cfg)
