@@ -73,3 +73,42 @@ def test_loss_ignores_padding(tiny_params, tiny_cfg):
     la = cm.compute_loss(tiny_params, video, ids_a, mask, tiny_cfg)
     lb = cm.compute_loss(tiny_params, video, ids_b, mask, tiny_cfg)
     np.testing.assert_allclose(la, lb, rtol=1e-6)
+
+
+def test_vit_trunk_remat_grad_parity():
+    """remat=True recomputes the forward in the backward — values AND grads
+    must match the stashed-activation path exactly (same ops, same order)."""
+    import dataclasses
+
+    from video_caption_tpu.models import vit as vt
+
+    cfg = vt.ViTConfig(image_size=32, patch_size=16, embed_dim=48, depth=2,
+                       num_heads=4, dtype=jnp.float32)
+    params = vt.init_vit_params(jax.random.PRNGKey(0), cfg)
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 32, 32))
+
+    def loss(p, c):
+        return jnp.sum(vt.vit_trunk(p, images, c) ** 2)
+
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    l0, g0 = jax.value_and_grad(loss)(params, cfg)
+    l1, g1 = jax.value_and_grad(loss)(params, cfg_r)
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+                 g0, g1)
+
+
+def test_vit_trunk_2d_matches_3d():
+    """trunk_2d reshapes only — outputs must be bitwise identical to the 3D
+    scan on the XLA path (ViTConfig.trunk_2d docstring)."""
+    import dataclasses
+
+    from video_caption_tpu.models import vit as vt
+
+    cfg = vt.ViTConfig(image_size=32, patch_size=16, embed_dim=48, depth=2,
+                       num_heads=4, dtype=jnp.float32)
+    params = vt.init_vit_params(jax.random.PRNGKey(0), cfg)
+    images = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32))
+    out3 = vt.vit_trunk(params, images, cfg)
+    out2 = vt.vit_trunk(params, images, dataclasses.replace(cfg, trunk_2d=True))
+    np.testing.assert_array_equal(np.asarray(out3), np.asarray(out2))

@@ -148,8 +148,11 @@ def run_sweep(
     if qps_levels is None:
         qps_levels = [8, 12, 16, 20, 24, 28, 32, 40, 48, 64]
     curve, max_ok = [], None
+    knee_found = False
     try:
-        for q in qps_levels:
+        q_iter = list(qps_levels)
+        while q_iter:
+            q = q_iter.pop(0)
             r = run_load(frames_dir, q, duration_s, num_frames=num_frames,
                          _booted=booted)
             ok = (r["errors"] == 0
@@ -162,7 +165,15 @@ def run_sweep(
                      r["latency_ms"]["p99"], "OK" if ok else "KNEE")
             if ok:
                 max_ok = r
+                if not q_iter:
+                    # list exhausted while still sustained — the knee is
+                    # beyond the ladder (the first sweep topped out at 64
+                    # with every gate green); keep climbing 1.5x until it
+                    # actually degrades, so "max sustainable" is a measured
+                    # capacity, not a configuration artifact
+                    q_iter.append(int(q * 1.5))
             else:
+                knee_found = True
                 break   # knee found; curve keeps this degraded level
     finally:
         booted[1].stop()
@@ -171,6 +182,7 @@ def run_sweep(
         "duration_s_per_level": duration_s,
         "gates": {"p99_limit_ms": p99_limit_ms, "achieved_ratio": achieved_ratio},
         "max_sustainable_qps": max_ok["offered_qps"] if max_ok else 0,
+        "knee_found": knee_found,
         "at_max": {k: max_ok[k] for k in ("achieved_qps", "latency_ms")} if max_ok else None,
         "curve": curve,
     }

@@ -103,6 +103,11 @@ class CompileConfig:
     use_pallas_encoder_attention: bool = _env_bool("VIDEO_CAPTION_PALLAS_ATTN", True)
     """VMEM-resident single-pass encoder attention (5x the XLA schedule at
     production batch on v5e, bit-identical outputs; encoder_attention.py)."""
+    vit_trunk_2d: bool = _env_bool("VIDEO_CAPTION_TRUNK_2D", False)
+    """Run the ViT blocks on a flat [N*S, H] residual stream (ViTConfig.
+    trunk_2d docstring) — removes the per-layer N-minor->row-major relayout
+    copy XLA inserts on the 3D stream. Identical arithmetic; default follows
+    the on-chip A/B."""
     deferred_decode_cache_write: bool = _env_bool("VIDEO_CAPTION_DEFERRED_KV_WRITE", False)
     """Greedy/sampled decode: batch all 12 per-layer KV-cache writes into
     ONE post-loop dynamic_update_slice (g2.GPT2Config.deferred_cache_write

@@ -56,6 +56,7 @@ def model_config_from_inference(config: InferenceConfig) -> cm.CaptionModelConfi
             dtype=dtype,
             use_pallas_pool=config.compile.use_pallas_fused_pool,
             use_pallas_attention=config.compile.use_pallas_encoder_attention,
+            trunk_2d=config.compile.vit_trunk_2d,
         ),
         gpt2=g2.GPT2Config(
             dtype=dtype,

@@ -63,6 +63,24 @@ class ViTConfig:
     below the matmul roofline. False = evaluate GELU in the compute dtype
     (bf16): ~1e-2 relative activation noise, inside the deployment
     bf16-vs-fp32 alignment budget — measured before flipping any default."""
+    remat: bool = False
+    """Rematerialize each transformer block in the backward pass
+    (``jax.checkpoint`` around the scanned block). Training-only lever:
+    the fwd+bwd activation stash of the 12-layer trunk at fp32 is ~4 GB per
+    128 frames (3x [12,N,197,768] + the [.,3072] MLP intermediates — the
+    full-size align trainer OOM'd 16 GB HBM exactly there); remat keeps only
+    the per-layer carries and recomputes the rest, trading ~33% more trunk
+    FLOPs. Inference paths (no grad) are unaffected by the flag."""
+    trunk_2d: bool = False
+    """Run the transformer blocks on a 2D [N*S, H] residual stream instead
+    of 3D [N, S, H], reshaping to [N, S, 3H] only at the attention-kernel
+    boundary (a free bitcast when the 2D stream is row-major). Rationale:
+    with 3D activations XLA assigns the LN/MLP fusion chain an N-minor
+    layout {0,2,1} and pays a full relayout copy per layer in front of the
+    row-major QKV matmul (hlo_stats on v5e, bs=64x16 frames: copy.37 =
+    11.5 ms/iter of a 299 ms encode). A 2D stream leaves only {1,0}/{0,1}
+    choices, removing the mismatch. Arithmetic is identical to the 3D path
+    (reshapes only)."""
 
     @property
     def num_patches(self) -> int:
@@ -138,9 +156,10 @@ def _patchify(images: jax.Array, patch: int) -> jax.Array:
     return x.reshape(n, gh * gw, c * patch * patch)
 
 
-def _attention(x: jax.Array, blk: Params, cfg: ViTConfig) -> jax.Array:
-    n, s, h = x.shape
-    qkv = x @ blk["qkv_w"].astype(x.dtype) + blk["qkv_b"].astype(x.dtype)  # [N,S,3H]
+def _attention_core(qkv: jax.Array, cfg: ViTConfig) -> jax.Array:
+    """Fused-QKV activation [N,S,3H] -> merged-head attention output [N,S,H]
+    (pre out-projection)."""
+    n, s, _ = qkv.shape
     if cfg.use_pallas_attention:
         # IMPORTANT: the kernel consumes the fused-QKV matmul output as-is
         # and emits [N,S,H] — head split/merge happens inside via static
@@ -150,22 +169,47 @@ def _attention(x: jax.Array, blk: Params, cfg: ViTConfig) -> jax.Array:
 
         out = encoder_attention(qkv, cfg.num_heads)
         if out is not None:
-            return out @ blk["proj_w"].astype(x.dtype) + blk["proj_b"].astype(x.dtype)
-    qkv = qkv.reshape(n, s, 3, cfg.num_heads, cfg.head_dim)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [N,S,nh,hd]
+            return out
+    r = qkv.reshape(n, s, 3, cfg.num_heads, cfg.head_dim)
+    q, k, v = r[:, :, 0], r[:, :, 1], r[:, :, 2]  # [N,S,nh,hd]
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
     scale = cfg.head_dim ** -0.5
     logits = jnp.einsum("nhqd,nhkd->nhqk", q, k, preferred_element_type=jnp.float32) * scale
-    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    attn = jax.nn.softmax(logits, axis=-1).astype(qkv.dtype)
     out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
-    out = out.transpose(0, 2, 1, 3).reshape(n, s, h)
+    return out.transpose(0, 2, 1, 3).reshape(n, s, cfg.embed_dim)
+
+
+def _attention(x: jax.Array, blk: Params, cfg: ViTConfig) -> jax.Array:
+    qkv = x @ blk["qkv_w"].astype(x.dtype) + blk["qkv_b"].astype(x.dtype)  # [N,S,3H]
+    out = _attention_core(qkv, cfg)
     return out @ blk["proj_w"].astype(x.dtype) + blk["proj_b"].astype(x.dtype)
 
 
 def _block(x: jax.Array, blk: Params, cfg: ViTConfig) -> jax.Array:
     x = x + _attention(_layer_norm(x, blk["ln1_scale"], blk["ln1_bias"]), blk, cfg)
+    y = _layer_norm(x, blk["ln2_scale"], blk["ln2_bias"])
+    y = y @ blk["fc1_w"].astype(x.dtype) + blk["fc1_b"].astype(x.dtype)
+    if cfg.gelu_f32:
+        y = jax.nn.gelu(y.astype(jnp.float32), approximate=cfg.gelu_approx).astype(x.dtype)
+    else:
+        y = jax.nn.gelu(y, approximate=cfg.gelu_approx)
+    y = y @ blk["fc2_w"].astype(x.dtype) + blk["fc2_b"].astype(x.dtype)
+    return x + y
+
+
+def _block_2d(x: jax.Array, blk: Params, cfg: ViTConfig, n: int, s: int) -> jax.Array:
+    """Same arithmetic as _block on a flat [N*S, H] residual stream
+    (cfg.trunk_2d docstring: keeps the whole LN/matmul chain in 2D so XLA
+    never picks an N-minor 3D layout; the attention boundary reshape is a
+    bitcast on row-major data)."""
+    h = cfg.embed_dim
+    y = _layer_norm(x, blk["ln1_scale"], blk["ln1_bias"])
+    qkv = y @ blk["qkv_w"].astype(x.dtype) + blk["qkv_b"].astype(x.dtype)  # [N*S,3H]
+    out = _attention_core(qkv.reshape(n, s, 3 * h), cfg).reshape(n * s, h)
+    x = x + (out @ blk["proj_w"].astype(x.dtype) + blk["proj_b"].astype(x.dtype))
     y = _layer_norm(x, blk["ln2_scale"], blk["ln2_bias"])
     y = y @ blk["fc1_w"].astype(x.dtype) + blk["fc1_b"].astype(x.dtype)
     if cfg.gelu_f32:
@@ -186,9 +230,24 @@ def vit_trunk(params: Params, images: jax.Array, cfg: ViTConfig) -> jax.Array:
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"].astype(dt)
 
+    if cfg.trunk_2d:
+        s = x.shape[1]
+        x = x.reshape(n * s, cfg.embed_dim)
+
+        def body2(carry, blk):
+            return _block_2d(carry, blk, cfg, n, s), None
+
+        if cfg.remat:
+            body2 = jax.checkpoint(body2)
+        x, _ = jax.lax.scan(body2, x, params["blocks"])
+        x = _layer_norm(x, params["norm_scale"], params["norm_bias"])
+        return x.reshape(n, s, cfg.embed_dim)
+
     def body(carry, blk):
         return _block(carry, blk, cfg), None
 
+    if cfg.remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["blocks"])
     return _layer_norm(x, params["norm_scale"], params["norm_bias"])
 

@@ -194,8 +194,11 @@ def train_align(ann_path: str, num_frames: int, image_size: int,
     # ViT geometry must match the rendered frame size (pos_embed length is
     # a function of image_size — a 224 default against smaller frames fails
     # at trace time); fp32 + gap per the docstring
+    # remat: the full-size run (96 records x 8 frames, 224px) OOM'd 16 GB HBM
+    # on the fwd+bwd activation stash ([12,N*T,197,768] f32 buffers); block
+    # rematerialization trades ~33% trunk FLOPs for a per-layer-carry stash
     cfg = align.AlignConfig(vit=vt.ViTConfig(
-        image_size=image_size, dtype=jnp.float32, pool="gap"))
+        image_size=image_size, dtype=jnp.float32, pool="gap", remat=True))
     key = jax.random.PRNGKey(seed)
     params0 = align.init_align_params(key, cfg)
 
