@@ -112,3 +112,47 @@ def test_vit_trunk_2d_matches_3d():
     out3 = vt.vit_trunk(params, images, cfg)
     out2 = vt.vit_trunk(params, images, dataclasses.replace(cfg, trunk_2d=True))
     np.testing.assert_array_equal(np.asarray(out3), np.asarray(out2))
+
+
+def test_vit_trunk_cls_only_bitwise():
+    """cls_only slices the CLS token BEFORE the final LayerNorm; LN is
+    per-token so the result must be bitwise identical to slicing after —
+    on both trunk layouts, values and (sliced) gradients."""
+    import dataclasses
+
+    from video_caption_tpu.models import vit as vt
+
+    cfg = vt.ViTConfig(image_size=32, patch_size=16, embed_dim=48, depth=2,
+                       num_heads=4, dtype=jnp.float32)
+    params = vt.init_vit_params(jax.random.PRNGKey(0), cfg)
+    images = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32))
+    for c in (cfg, dataclasses.replace(cfg, trunk_2d=True)):
+        full = vt.vit_trunk(params, images, c)
+        cls = vt.vit_trunk(params, images, c, cls_only=True)
+        assert cls.shape == (4, 1, cfg.embed_dim)
+        np.testing.assert_array_equal(np.asarray(full[:, :1, :]), np.asarray(cls))
+
+    def loss(p, cls_only):
+        return jnp.sum(vt.vit_trunk(p, images, cfg, cls_only=cls_only)[:, 0] ** 2)
+
+    g_full, g_cls = jax.grad(loss)(params, False), jax.grad(loss)(params, True)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+                 g_full, g_cls)
+
+
+def test_vit_encode_cls_matches_full_stream_composition():
+    """vit_encode's cls fast path (trunk cls_only + tiny temporal mean) must
+    match the full-stream trunk + pool_temporal composition it replaced."""
+    from video_caption_tpu.models import vit as vt
+
+    cfg = vt.ViTConfig(image_size=32, patch_size=16, embed_dim=48, depth=2,
+                       num_heads=4, out_dim=24, dtype=jnp.float32)
+    params = vt.init_vit_params(jax.random.PRNGKey(0), cfg)
+    video = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 3, 32, 32))
+    out = vt.vit_encode(params, video, cfg)
+    frames = video.reshape(8, 3, 32, 32)
+    tokens = vt.vit_trunk(params, frames, cfg)
+    pooled = vt.pool_temporal(tokens, 2, 4, cfg)
+    ref = (pooled @ params["head"]["w"].astype(pooled.dtype)
+           + params["head"]["b"].astype(pooled.dtype)).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)

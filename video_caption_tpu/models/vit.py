@@ -220,8 +220,18 @@ def _block_2d(x: jax.Array, blk: Params, cfg: ViTConfig, n: int, s: int) -> jax.
     return x + y
 
 
-def vit_trunk(params: Params, images: jax.Array, cfg: ViTConfig) -> jax.Array:
-    """[N,3,H,W] -> [N, seq_len, embed_dim] token features (post final norm)."""
+def vit_trunk(params: Params, images: jax.Array, cfg: ViTConfig,
+              *, cls_only: bool = False) -> jax.Array:
+    """[N,3,H,W] -> [N, seq_len, embed_dim] token features (post final norm).
+
+    cls_only=True returns only the CLS token, [N, 1, embed_dim], sliced
+    BEFORE the final LayerNorm. LayerNorm is per-token, so this is bitwise
+    identical to `vit_trunk(...)[:, :1]` — but it drops three full-stream
+    HBM passes over [N,S,H] (mean/var reduces + normalize apply) down to
+    1/S of the data: hlo_stats on v5e at bs=64x16 frames attributed ~27 ms
+    of the 323 ms encode to the full-stream final norm that the cls pool
+    then discarded (reference computes the full norm because timm's
+    forward_features does: video_encoder.py:288-314)."""
     dt = cfg.dtype
     x = _patchify(images.astype(dt), cfg.patch_size)
     x = x @ params["patch_embed"]["w"].astype(dt) + params["patch_embed"]["b"].astype(dt)
@@ -240,8 +250,10 @@ def vit_trunk(params: Params, images: jax.Array, cfg: ViTConfig) -> jax.Array:
         if cfg.remat:
             body2 = jax.checkpoint(body2)
         x, _ = jax.lax.scan(body2, x, params["blocks"])
-        x = _layer_norm(x, params["norm_scale"], params["norm_bias"])
-        return x.reshape(n, s, cfg.embed_dim)
+        x = x.reshape(n, s, cfg.embed_dim)
+        if cls_only:
+            x = x[:, :1, :]
+        return _layer_norm(x, params["norm_scale"], params["norm_bias"])
 
     def body(carry, blk):
         return _block(carry, blk, cfg), None
@@ -249,6 +261,8 @@ def vit_trunk(params: Params, images: jax.Array, cfg: ViTConfig) -> jax.Array:
     if cfg.remat:
         body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["blocks"])
+    if cls_only:
+        x = x[:, :1, :]
     return _layer_norm(x, params["norm_scale"], params["norm_bias"])
 
 
@@ -258,6 +272,12 @@ def pool_temporal(tokens: jax.Array, batch: int, frames: int, cfg: ViTConfig) ->
     XLA reference path; the Pallas kernel (ops/pallas/fused_pool.py) computes
     the same contraction (reference CUDA kernels: cupy_vit_pool.py:23-104).
     """
+    if tokens.shape[1] == 1:
+        # cls_only trunk output: the spatial pool is already done; the
+        # remaining [B,T,H] temporal mean is too small for a kernel to matter.
+        # fp32 accumulation matches the Pallas fused_pool semantics.
+        per_frame = tokens[:, 0, :].astype(jnp.float32)
+        return jnp.mean(per_frame.reshape(batch, frames, -1), axis=1).astype(tokens.dtype)
     if cfg.use_pallas_pool:
         from video_caption_tpu.ops.pallas.fused_pool import fused_pool_temporal
 
@@ -291,7 +311,7 @@ def vit_encode(params: Params, video: jax.Array, cfg: ViTConfig) -> jax.Array:
         video = normalize_pixels(video)
     b, t = video.shape[0], video.shape[1]
     frames = video.reshape(b * t, *video.shape[2:])
-    tokens = vit_trunk(params, frames, cfg)
+    tokens = vit_trunk(params, frames, cfg, cls_only=cfg.pool == "cls")
     pooled = pool_temporal(tokens, b, t, cfg)
     out = pooled @ params["head"]["w"].astype(pooled.dtype) + params["head"]["b"].astype(pooled.dtype)
     return out.astype(jnp.float32)
