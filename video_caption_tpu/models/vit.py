@@ -276,6 +276,10 @@ def pool_temporal(tokens: jax.Array, batch: int, frames: int, cfg: ViTConfig) ->
         # cls_only trunk output: the spatial pool is already done; the
         # remaining [B,T,H] temporal mean is too small for a kernel to matter.
         # fp32 accumulation matches the Pallas fused_pool semantics.
+        if cfg.pool != "cls":
+            raise ValueError(
+                f"single-token trunk output is only valid for pool='cls' "
+                f"(got pool={cfg.pool!r}): gap pooling excludes token 0")
         per_frame = tokens[:, 0, :].astype(jnp.float32)
         return jnp.mean(per_frame.reshape(batch, frames, -1), axis=1).astype(tokens.dtype)
     if cfg.use_pallas_pool:
