@@ -142,7 +142,11 @@ class InferenceEngine:
             from video_caption_tpu.parallel import make_mesh, shard_params
 
             self.mesh = make_mesh(config.mesh, jax.devices()[: config.mesh.num_devices])
-            self.params = shard_params(self.params, self.mesh)
+            # replicate_embeddings: the inference placement — a vocab-sharded
+            # wte would make every decode step all-gather the full [rows,
+            # vocab] logits for top-k (77 MB/step at production geometry)
+            self.params = shard_params(self.params, self.mesh,
+                                       replicate_embeddings=True)
         self.tokenizer = get_tokenizer()
         import os
         from collections import OrderedDict

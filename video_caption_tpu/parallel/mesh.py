@@ -61,14 +61,26 @@ _FSDP_MIN_ELEMS = 1 << 16
 
 
 def _spec_for(path: str, ndim: int, model_size: int, shape,
-              fsdp_size: int = 1, fsdp_min_elems: int = _FSDP_MIN_ELEMS) -> P:
+              fsdp_size: int = 1, fsdp_min_elems: int = _FSDP_MIN_ELEMS,
+              replicate_embeddings: bool = False) -> P:
     """PartitionSpec for one parameter leaf, keyed by its field name.
 
     TP (megatron) placement first; FSDP then claims the first still-free,
     evenly-divisible dim of large leaves for the data axis — the stacked
     ``depth`` axis of block weights is the natural choice (depth % dp == 0
     for the usual meshes), composing cleanly with the TP in/out shardings.
-    """
+
+    ``replicate_embeddings`` keeps ``wte`` replicated instead of
+    vocab-sharded — the INFERENCE rule: with a vocab-sharded wte the decode
+    step's lm-head logits come out vocab-sharded and the top-k selection
+    forces GSPMD to all-gather the full [rows, vocab] logits tensor every
+    token (f32[384,50257] = 77 MB/step at production geometry, measured
+    structurally on the 2x2 dryrun mesh), plus masked-sum collectives on
+    every embedding lookup. Replicating wte makes the lm-head compute
+    redundant across the model axis but removes every vocab-wide collective
+    from the decode loop; the memory cost is one wte copy (77 MB bf16).
+    Training keeps the vocab-sharded rule (its loss reduces over the vocab
+    dim in-place, no per-step gather)."""
     name = path.split("/")[-1]
     none: list = [None] * ndim
     if model_size > 1:
@@ -76,10 +88,19 @@ def _spec_for(path: str, ndim: int, model_size: int, shape,
             none[-1] = MODEL_AXIS
         elif name in _ROW_PARALLEL and ndim >= 2 and shape[-2] % model_size == 0:
             none[-2] = MODEL_AXIS
-        elif name == "wte" and shape[0] % model_size == 0:
+        elif name == "wte" and shape[0] % model_size == 0 and not replicate_embeddings:
             none[0] = MODEL_AXIS
     if fsdp_size > 1 and int(np.prod(shape or (1,))) >= fsdp_min_elems:
-        for d in range(ndim):
+        # FSDP may only claim dims LEFT of the TP dim (the stacked ``depth``
+        # axis in production). Claiming a dim to the RIGHT of a TP-sharded
+        # dim makes the backward's grad psum(model) land in a sharding the
+        # partitioner can only reach by full rematerialization ("Involuntary
+        # full rematerialization" SPMD warning, replicate-then-repartition on
+        # every step) — measured on the 4x2 dryrun mesh: the row-parallel
+        # proj_w grad all-reduce. A TP-sharded leaf whose left dims don't
+        # divide stays TP-only; it is already split over the model axis.
+        tp_dim = next((d for d in range(ndim) if none[d] is not None), ndim)
+        for d in range(tp_dim):
             if none[d] is None and shape[d] % fsdp_size == 0:
                 none[d] = DATA_AXIS
                 break
@@ -87,27 +108,33 @@ def _spec_for(path: str, ndim: int, model_size: int, shape,
 
 
 def param_specs(params: Any, model_size: int, fsdp_size: int = 1,
-                fsdp_min_elems: int = _FSDP_MIN_ELEMS) -> Any:
+                fsdp_min_elems: int = _FSDP_MIN_ELEMS,
+                replicate_embeddings: bool = False) -> Any:
     """PartitionSpec pytree matching ``params``."""
     def walk(tree, path=""):
         if isinstance(tree, dict):
             return {k: walk(v, f"{path}/{k}") for k, v in tree.items()}
         return _spec_for(path, np.ndim(tree), model_size, np.shape(tree),
-                         fsdp_size, fsdp_min_elems)
+                         fsdp_size, fsdp_min_elems, replicate_embeddings)
 
     return walk(params)
 
 
 def shard_params(params: Any, mesh: Mesh, fsdp: bool = False,
-                 fsdp_min_elems: int = _FSDP_MIN_ELEMS) -> Any:
+                 fsdp_min_elems: int = _FSDP_MIN_ELEMS,
+                 replicate_embeddings: bool = False) -> Any:
     """Place a parameter pytree on the mesh: TP rules over the model axis,
     plus optional FSDP weight sharding over the data axis (replicated when
     both axes are 1 — the single-chip case). Optimizer state initialized
     from the result inherits the same shardings, so FSDP also shards the
-    Adam moments (the ZeRO memory win)."""
+    Adam moments (the ZeRO memory win).
+
+    ``replicate_embeddings=True`` is the inference placement (see _spec_for:
+    it removes the per-token full-vocab logits all-gather from decode)."""
     model_size = mesh.shape[MODEL_AXIS]
     fsdp_size = mesh.shape[DATA_AXIS] if fsdp else 1
-    specs = param_specs(params, model_size, fsdp_size, fsdp_min_elems)
+    specs = param_specs(params, model_size, fsdp_size, fsdp_min_elems,
+                        replicate_embeddings)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
