@@ -34,6 +34,9 @@ VARIANTS = {
     "no_lm_head": {"use_pallas_lm_head": False},
     "no_kernels": {"use_pallas_beam_attention": False, "use_pallas_lm_head": False},
     "deferred_write": {"deferred_decode_cache_write": True},
+    # round-3 contiguous [L,B,max_len,2,nh,hd] sampled-decode cache (the
+    # (12,64)-minor layout the split path replaced; VERDICT r3 #3 A/B)
+    "contig_sample": {"sample_split_cache": False},
     # opt-in int8 weight-only decoder (tokens may deviate from bf16 — the
     # documented tradeoff; this quantifies the speed side)
     "int8_decoder": {"quantize_decoder_int8": True},

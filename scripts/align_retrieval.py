@@ -1,23 +1,38 @@
 """Standalone align-train + retrieval-eval leg of the quality loop.
 
-Runs train_align (InfoNCE, fp32/GAP — quality_loop.train_align docstring)
-on the synthetic captioning dataset and evaluates text->video retrieval
-Recall@K/MRR for the trained vs random encoder, writing
-reports/quality_loop/retrieval.csv. On TPU the full size runs in minutes;
-pass smaller sizes for CPU smoke runs.
+Runs train_align (InfoNCE, fp32/GAP, temporal_mode="diff" — the round-3
+plateau was the temporal MEAN washing out direction-of-motion;
+align.AlignConfig.temporal_mode docstring) on the scaled synthetic dataset
+(96 classes) and evaluates text->video retrieval Recall@K/MRR trained vs
+random, writing reports/quality_loop/retrieval.csv with a binomial p-value
+for the trained Recall@1 under the uniform-chance null (VERDICT r3 #5:
+>=128 unique-caption queries, significance stated).
 
 Usage: python scripts/align_retrieval.py [--image_size 224] [--num_frames 8]
-       [--steps 300] [--unique_captions]
+       [--steps 300]
 """
 import argparse
 import json
 import logging
+import math
+import os
+import sys
 from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from video_caption_tpu.tools.quality_loop import (
     eval_align_retrieval, make_synthetic_dataset, train_align)
 
 log = logging.getLogger(__name__)
+
+
+def binom_sf(hits: int, n: int, p: float) -> float:
+    """P(X >= hits), X ~ Binomial(n, p) — exact sum, no scipy."""
+    total = 0.0
+    for k in range(hits, n + 1):
+        total += math.comb(n, k) * (p ** k) * ((1 - p) ** (n - k))
+    return min(total, 1.0)
 
 
 def main(argv=None) -> int:
@@ -30,45 +45,60 @@ def main(argv=None) -> int:
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--num_frames", type=int, default=8)
     p.add_argument("--steps", type=int, default=300)
-    p.add_argument("--unique_captions", action="store_true",
-                   help="one train record per caption (duplicate captions "
-                        "are false negatives for the in-batch InfoNCE)")
+    p.add_argument("--colors", type=int, default=6)
+    p.add_argument("--motions", type=int, default=4)
+    p.add_argument("--sizes", type=int, default=2)
+    p.add_argument("--train_per_class", type=int, default=2)
+    p.add_argument("--temporal_mode", default="diff", choices=("diff", "mean"))
     args = p.parse_args(argv)
 
     anns = make_synthetic_dataset(
-        args.root, num_frames=args.num_frames, image_size=args.image_size)
-    train_path = anns["train"]
-    if args.unique_captions:
-        recs, seen = [], set()
-        for r in json.loads(Path(train_path).read_text()):
-            c = r["captions"][0]
-            if c not in seen:
-                seen.add(c)
-                recs.append(r)
-        train_path = str(Path(args.root) / "train_unique.json")
-        Path(train_path).write_text(json.dumps(recs))
-        log.info("unique-caption train set: %d records", len(recs))
+        args.root, num_frames=args.num_frames, image_size=args.image_size,
+        colors=args.colors, motions=args.motions, sizes=args.sizes,
+        train_per_class=args.train_per_class, val_per_class=1)
+    # one train record per class: duplicate-class records are false
+    # negatives for the in-batch InfoNCE
+    recs, seen = [], set()
+    for r in json.loads(Path(anns["train"]).read_text()):
+        klass = r["video_id"].rsplit("_", 1)[0]
+        if klass not in seen:
+            seen.add(klass)
+            recs.append(r)
+    train_path = str(Path(args.root) / "train_unique.json")
+    Path(train_path).write_text(json.dumps(recs))
+    log.info("unique-class train set: %d records", len(recs))
 
     cfg, trained, random_p, tok = train_align(
-        train_path, args.num_frames, args.image_size, max_steps=args.steps)
+        train_path, args.num_frames, args.image_size, max_steps=args.steps,
+        temporal_mode=args.temporal_mode)
+    # eval: one video per class in the index, every paraphrase as a query
+    kw = dict(one_per_class=True, all_captions=True)
     rt = eval_align_retrieval(
-        cfg, trained, anns["val"], args.num_frames, args.image_size, tok)
+        cfg, trained, anns["val"], args.num_frames, args.image_size, tok, **kw)
     rr = eval_align_retrieval(
-        cfg, random_p, anns["val"], args.num_frames, args.image_size, tok)
+        cfg, random_p, anns["val"], args.num_frames, args.image_size, tok, **kw)
+
+    n_classes = len(seen)
+    q = rt["num_queries"]
+    hits = round(rt["recall@1"] * q)
+    pval = binom_sf(hits, q, 1.0 / n_classes)
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     with out.open("w") as fh:
-        fh.write("model,recall@1,recall@5,mrr,num_queries\n")
-        for name, m in (("trained", rt), ("random", rr)):
+        fh.write("model,recall@1,recall@5,mrr,num_queries,p_value_vs_chance\n")
+        for name, m, pv in (("trained", rt, pval),
+                            ("random", rr, binom_sf(
+                                round(rr["recall@1"] * q), q, 1.0 / n_classes))):
             fh.write(f"{name},{m['recall@1']:.4f},{m['recall@5']:.4f},"
-                     f"{m['mrr']:.4f},{m['num_queries']}\n")
+                     f"{m['mrr']:.4f},{m['num_queries']},{pv:.2e}\n")
     import jax
 
     print(json.dumps({
-        "trained": rt, "random": rr,
+        "trained": rt, "random": rr, "classes": n_classes,
+        "trained_r1_pvalue_vs_chance": pval,
         "device": str(getattr(jax.devices()[0], "device_kind", "cpu")),
         "steps": args.steps, "image_size": args.image_size,
-        "num_frames": args.num_frames}))
+        "num_frames": args.num_frames, "temporal_mode": args.temporal_mode}))
     return 0
 
 

@@ -67,9 +67,6 @@ run_variant("attn_g2", base_cfg, group_candidates=(2,))
 run_variant("xla_attn", vit.ViTConfig(use_pallas_attention=False, use_pallas_pool=True))
 t_both, out_b = run_variant("both(g8+bf16gelu)", vit.ViTConfig(
     use_pallas_attention=True, use_pallas_pool=True, gelu_f32=False))
-t_2d, out_2d = run_variant("trunk_2d", vit.ViTConfig(
-    use_pallas_attention=True, use_pallas_pool=True, trunk_2d=True))
-err2d = float(jnp.max(jnp.abs(out_2d - out0)) / (jnp.max(jnp.abs(out0)) + 1e-9))
-print(f"  trunk_2d vs base: max rel dev {err2d:.2e} (expect 0: reshapes only)")
-run_variant("trunk_2d_xla_attn", vit.ViTConfig(
-    use_pallas_attention=False, use_pallas_pool=True, trunk_2d=True))
+# trunk_2d variants removed in round 4: measured 335.9 vs 297.0 ms base on
+# v5e bs=64 (13% slower; scripts/exp_encode_v4.py) — the 2D stream forced
+# MORE relayout at the attention boundary than the 3D stream's per-layer copy

@@ -39,16 +39,23 @@ run profile_beam 1200 python scripts/profile_beam.py 64 /tmp/hlo_stats_beam.csv 
 run profile_sampled 1200 python scripts/profile_beam.py 64 /tmp/hlo_stats_sampled.csv sampled
 run profile_encode 1200 python scripts/profile_encode.py 64 /tmp/hlo_stats_encode.csv
 
-# 4. single-request latency breakdown (AOT path)
+# 4. single-request latency breakdown (AOT path) + overlap A/B (r4 p50 lever)
 run single_request 1800 python scripts/profile_single_request.py 30
+run single_request_no_overlap 1800 env VIDEO_CAPTION_OVERLAP_UPLOAD=0 \
+    python scripts/profile_single_request.py 30
 
 # 5. serving sweep to the saturation knee
 run serving_sweep 3000 python -m video_caption_tpu.bench.serving_load --sweep \
     --duration 20 --out reports/serving_load_sweep.json
 
-# 6. retrieval leg of the quality loop at full size (refreshes the CPU-sized
-# artifact with on-chip numbers)
-run align_retrieval 2400 python scripts/align_retrieval.py --unique_captions
+# 6. retrieval leg of the quality loop at full size (96 classes, 192
+# paraphrase queries, binomial p-value — VERDICT r3 #5)
+run align_retrieval 3000 python scripts/align_retrieval.py
+
+# 6.5 full quality loop at round-4 scale (96 classes, 192 val clips,
+# 2-paraphrase language; stage3 -> mapper -> eval_compare/ablate/retrieval —
+# VERDICT r3 #7). The longest stage; logs under /tmp/hw_session.
+run quality_loop 7200 python -m video_caption_tpu.tools.quality_loop --root /tmp/qloop_r4
 
 # 7. deployment numerics gate on-chip (now includes the decode-kernel leg)
 run alignment 1800 bash -c 'python -m video_caption_tpu.bench.accuracy_alignment --image_size 224 --num_frames 4 > reports/accuracy_alignment.json && tail -c 400 reports/accuracy_alignment.json'

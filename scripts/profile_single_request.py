@@ -35,6 +35,21 @@ eng._video_cache_bytes = 0  # cold path every request
 for _ in range(3):
     eng.infer(dirs[0])
 
+# whole-request latency through the PUBLIC surface (engine.infer) — this is
+# the p50 the bench reports; with overlap_single_upload on (default) the
+# per-chunk trunk dispatches overlap the wire (round-4 p50 lever). A/B via
+# VIDEO_CAPTION_OVERLAP_UPLOAD=0.
+infer_lat = []
+for i in range(iters):
+    d = dirs[i % len(dirs)]
+    t0 = time.perf_counter()
+    eng.infer(d)
+    infer_lat.append(time.perf_counter() - t0)
+print(f"infer()    p50 {statistics.median(infer_lat)*1e3:7.1f} ms   "
+      f"mean {sum(infer_lat)/len(infer_lat)*1e3:7.1f}   "
+      f"min {min(infer_lat)*1e3:7.1f}   max {max(infer_lat)*1e3:7.1f}   "
+      f"(overlap_single_upload={eng.config.compile.overlap_single_upload})")
+
 rows = {k: [] for k in ("load", "dispatch", "collect", "post", "total")}
 for i in range(iters):
     d = dirs[i % len(dirs)]

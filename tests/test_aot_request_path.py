@@ -24,6 +24,10 @@ def _make_engine(tiny_cfg, tiny_params, **over):
     from video_caption_tpu.config import CompileConfig, default_inference_config
     from video_caption_tpu.engine import InferenceEngine
 
+    # pin the pixel request path: with overlap_single_upload on (default) a
+    # cold request is served by the FEATS program (engine._dispatch_feats,
+    # tested in test_overlap_upload.py) and _aot_single is never built
+    over.setdefault("overlap_single_upload", False)
     cfg = default_inference_config(
         ckpt="missing.pt", num_frames=2, image_size=32,
         compile=dataclasses.replace(CompileConfig(), **over),

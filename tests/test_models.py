@@ -98,39 +98,22 @@ def test_vit_trunk_remat_grad_parity():
                  g0, g1)
 
 
-def test_vit_trunk_2d_matches_3d():
-    """trunk_2d reshapes only — outputs must be bitwise identical to the 3D
-    scan on the XLA path (ViTConfig.trunk_2d docstring)."""
-    import dataclasses
-
-    from video_caption_tpu.models import vit as vt
-
-    cfg = vt.ViTConfig(image_size=32, patch_size=16, embed_dim=48, depth=2,
-                       num_heads=4, dtype=jnp.float32)
-    params = vt.init_vit_params(jax.random.PRNGKey(0), cfg)
-    images = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32))
-    out3 = vt.vit_trunk(params, images, cfg)
-    out2 = vt.vit_trunk(params, images, dataclasses.replace(cfg, trunk_2d=True))
-    np.testing.assert_array_equal(np.asarray(out3), np.asarray(out2))
-
-
 def test_vit_trunk_cls_only_bitwise():
     """cls_only slices the CLS token BEFORE the final LayerNorm; LN is
     per-token so the result must be bitwise identical to slicing after —
-    on both trunk layouts, values and (sliced) gradients."""
-    import dataclasses
-
+    values and (sliced) gradients. (The trunk_2d layout variant was removed
+    in round 4: measured 13% SLOWER than the 3D scan on v5e at bs=64,
+    scripts/exp_encode_v4.py / BASELINE.md.)"""
     from video_caption_tpu.models import vit as vt
 
     cfg = vt.ViTConfig(image_size=32, patch_size=16, embed_dim=48, depth=2,
                        num_heads=4, dtype=jnp.float32)
     params = vt.init_vit_params(jax.random.PRNGKey(0), cfg)
     images = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32))
-    for c in (cfg, dataclasses.replace(cfg, trunk_2d=True)):
-        full = vt.vit_trunk(params, images, c)
-        cls = vt.vit_trunk(params, images, c, cls_only=True)
-        assert cls.shape == (4, 1, cfg.embed_dim)
-        np.testing.assert_array_equal(np.asarray(full[:, :1, :]), np.asarray(cls))
+    full = vt.vit_trunk(params, images, cfg)
+    cls = vt.vit_trunk(params, images, cfg, cls_only=True)
+    assert cls.shape == (4, 1, cfg.embed_dim)
+    np.testing.assert_array_equal(np.asarray(full[:, :1, :]), np.asarray(cls))
 
     def loss(p, cls_only):
         return jnp.sum(vt.vit_trunk(p, images, cfg, cls_only=cls_only)[:, 0] ** 2)

@@ -177,6 +177,35 @@ def run_sweep(
                 break   # knee found; curve keeps this degraded level
     finally:
         booted[1].stop()
+    cache_off = None
+    if max_ok is not None:
+        # cache-off row AT the measured capacity (VERDICT r3 #4): every
+        # request re-decodes + re-uploads, so this prices the wire against
+        # the chip at the knee. Fresh server: the cache budget is read at
+        # engine build.
+        import os
+
+        from video_caption_tpu.server.services.model_registry import MODEL_REGISTRY
+
+        old = os.environ.get("VIDEO_CAPTION_VIDEO_CACHE_MB")
+        os.environ["VIDEO_CAPTION_VIDEO_CACHE_MB"] = "0"
+        MODEL_REGISTRY.clear()
+        try:
+            booted2 = _boot_server(frames_dir, num_frames, max_batch)
+            try:
+                cache_off = run_load(frames_dir, max_ok["offered_qps"],
+                                     duration_s, num_frames=num_frames,
+                                     _booted=booted2)
+            finally:
+                booted2[1].stop()
+        except Exception as exc:   # keep the sweep result even if this fails
+            cache_off = {"error": str(exc)}
+        finally:
+            if old is None:
+                os.environ.pop("VIDEO_CAPTION_VIDEO_CACHE_MB", None)
+            else:
+                os.environ["VIDEO_CAPTION_VIDEO_CACHE_MB"] = old
+            MODEL_REGISTRY.clear()
     return {
         "workload_presets": curve[0]["workload_presets"] if curve else None,
         "duration_s_per_level": duration_s,
@@ -184,6 +213,7 @@ def run_sweep(
         "max_sustainable_qps": max_ok["offered_qps"] if max_ok else 0,
         "knee_found": knee_found,
         "at_max": {k: max_ok[k] for k in ("achieved_qps", "latency_ms")} if max_ok else None,
+        "cache_off_at_max": cache_off,
         "curve": curve,
     }
 

@@ -103,11 +103,6 @@ class CompileConfig:
     use_pallas_encoder_attention: bool = _env_bool("VIDEO_CAPTION_PALLAS_ATTN", True)
     """VMEM-resident single-pass encoder attention (5x the XLA schedule at
     production batch on v5e, bit-identical outputs; encoder_attention.py)."""
-    vit_trunk_2d: bool = _env_bool("VIDEO_CAPTION_TRUNK_2D", False)
-    """Run the ViT blocks on a flat [N*S, H] residual stream (ViTConfig.
-    trunk_2d docstring) — removes the per-layer N-minor->row-major relayout
-    copy XLA inserts on the 3D stream. Identical arithmetic; default follows
-    the on-chip A/B."""
     deferred_decode_cache_write: bool = _env_bool("VIDEO_CAPTION_DEFERRED_KV_WRITE", False)
     """Greedy/sampled decode: batch all 12 per-layer KV-cache writes into
     ONE post-loop dynamic_update_slice (g2.GPT2Config.deferred_cache_write
@@ -115,6 +110,12 @@ class CompileConfig:
     use_pallas_lm_head: bool = _env_bool("VIDEO_CAPTION_PALLAS_LM_HEAD", True)
     """Fused LM-head + selection-statistics kernel in the decode step
     (ops/pallas/lm_head.py)."""
+    sample_split_cache: bool = _env_bool("VIDEO_CAPTION_SAMPLE_SPLIT_CACHE", True)
+    """Greedy/sampled decode over the beam path's split KV cache (read-only
+    merged-H prefill + time-major [L,N,2,B,H] gen region) instead of the
+    contiguous [L,B,max_len,2,nh,hd] cache whose (12,64) minor dims tile-pad
+    2.67x (GPT2Config.sample_split_cache docstring). Default follows the
+    on-chip A/B (scripts/ab_decode.py 'contig_sample' variant)."""
     use_pallas_beam_attention: bool = _env_bool("VIDEO_CAPTION_PALLAS_BEAM_ATTN", True)
     """Beam decode attention custom call (ops/pallas/beam_attention.py) —
     also the gen-cache layout anchor (GPT2Config docstring)."""
@@ -142,6 +143,15 @@ class CompileConfig:
     """Weight-only int8 for the GPT-2 block matmuls (per-output-channel
     scales): halves decode HBM weight traffic vs bf16. Off by default —
     captions may deviate from the fp/bf16 reference tokens."""
+    overlap_single_upload: bool = _env_bool("VIDEO_CAPTION_OVERLAP_UPLOAD", True)
+    """Single-request (B=1) cold path: ENCODE each uploaded chunk of frames
+    (ViT trunk, per-frame) as soon as its device_put lands, so the wire
+    transfer of chunk N+1 overlaps the encode of chunk N — the batch path
+    already overlapped uploads this way; the single request paid its full
+    ~42 ms device_put serially (BASELINE.md round-3 p50 attribution). Only
+    engages for pool='cls' on a video-cache miss; per-frame trunk math has
+    no cross-frame reductions, so captions are unchanged (engine falls back
+    to the whole-video program otherwise)."""
     aot_request_program: bool = _env_bool("VIDEO_CAPTION_AOT_REQUEST", True)
     """Serve single-video requests through an ahead-of-time compiled
     executable (aot.py — the XLA analog of the reference's reserved TRT

@@ -188,7 +188,9 @@ def greedy_or_sample(
     (EOS-padded after a row finishes, matching pad_token_id=eos)."""
     b, s0, _ = inputs_embeds.shape
     n = dp.max_new_tokens
-    max_len = s0 + n
+    split = gpt2_cfg.sample_split_cache and not gpt2_cfg.use_pallas_decode_layer \
+        and not gpt2_cfg.use_pallas_decode
+    max_len = s0 if split else s0 + n
     if gpt2_cfg.use_pallas_decode_layer:
         # one-time compute-dtype weight cast for the fused-step kernel path
         # (must stay OUTSIDE the scan; g2.prepare_decode_params docstring)
@@ -200,7 +202,12 @@ def greedy_or_sample(
     (last_logits, last_wmax, _, _), cache, valid, row_len = _prefill(
         gpt2_params, gpt2_cfg, inputs_embeds, max_len, prefill_mask, wte_t=wte_t,
         return_stats=True, row_stats=False,
+        cache_layout="split" if split else "auto",
     )
+    if split:
+        # TIME-major merged-H gen-region cache; the contiguous prefill cache
+        # above is read-only from here (GPT2Config.sample_split_cache)
+        gen_cache = g2.init_cache(gpt2_cfg, b, n, layout="beam_gen")
     generated = jnp.full((b, n), dp.eos_id, jnp.int32)
     finished = jnp.zeros((b,), bool)
     if rng is None:
@@ -219,6 +226,38 @@ def greedy_or_sample(
     token0, generated, finished, rng = sample_select(
         last_logits, generated, finished, jnp.int32(0), dp, rng, wmax=last_wmax
     )
+
+    if split:
+        def step(carry, t):
+            token_prev, gen_cache, generated, finished, rng = carry
+            # forward of token t-1: its K/V lands at gen column t-1 and the
+            # causal mask exposes gen columns <= t-1 (g2.gpt2_sample_step)
+            embeds = gpt2_params["wte"][token_prev]
+            positions = row_len + t - 1
+            (logits, wmax, _, _), gen_cache = g2.gpt2_sample_step(
+                gpt2_params, embeds, positions, cache, valid, gen_cache,
+                t - 1, gpt2_cfg, wte_t=wte_t, return_stats=True,
+            )
+            token, generated, finished, rng = sample_select(
+                logits, generated, finished, t, dp, rng, wmax=wmax
+            )
+            return (token, gen_cache, generated, finished, rng), None
+
+        carry = (token0, gen_cache, generated, finished, rng)
+        if dp.early_stop:
+            def cond(state):
+                t, (_, _, _, fin, _) = state
+                return (t < n) & ~jnp.all(fin)
+
+            def body(state):
+                t, c = state
+                c, _ = step(c, t)
+                return t + 1, c
+
+            _, carry = jax.lax.while_loop(cond, body, (jnp.int32(1), carry))
+        else:
+            carry, _ = jax.lax.scan(step, carry, jnp.arange(1, n, dtype=jnp.int32))
+        return carry[2]
 
     def step(carry, t):
         token_prev, cache, valid, generated, finished, rng = carry

@@ -56,7 +56,6 @@ def model_config_from_inference(config: InferenceConfig) -> cm.CaptionModelConfi
             dtype=dtype,
             use_pallas_pool=config.compile.use_pallas_fused_pool,
             use_pallas_attention=config.compile.use_pallas_encoder_attention,
-            trunk_2d=config.compile.vit_trunk_2d,
         ),
         gpt2=g2.GPT2Config(
             dtype=dtype,
@@ -64,6 +63,7 @@ def model_config_from_inference(config: InferenceConfig) -> cm.CaptionModelConfi
             use_pallas_lm_head=config.compile.use_pallas_lm_head,
             deferred_cache_write=config.compile.deferred_decode_cache_write,
             use_pallas_beam_attention=config.compile.use_pallas_beam_attention,
+            sample_split_cache=config.compile.sample_split_cache,
             use_pallas_decode_layer=(
                 config.compile.use_pallas_decode_layer
                 and not config.compile.quantize_decoder_int8  # kernel reads plain weights
@@ -164,6 +164,11 @@ class InferenceEngine:
         self._rng = jax.random.PRNGKey(seed)
         self._prefix_fn = jax.jit(
             partial(cm.video_to_prefix, cfg=self.model_cfg), static_argnames=()
+        )
+        # per-chunk frame encoder for the overlapped single-request path
+        # (CompileConfig.overlap_single_upload): [C,3,H,W] -> [C, embed_dim]
+        self._chunk_encode_fn = jax.jit(
+            partial(cm.encode_frames, cfg=self.model_cfg)
         )
         # raw 4:2:0 planes -> RGB uint8 on device (bit-exact with the PIL
         # path; preprocessing/yuv420.py) — the wire carries half the bytes
@@ -369,8 +374,15 @@ class InferenceEngine:
 
     def infer(self, frames_dir: str) -> InferenceResult:
         with self.memory.oom_guard():
-            video = self._load_video_to_device(frames_dir)
-            texts = self._infer_videos(video)[0]
+            texts = None
+            if (self.config.compile.overlap_single_upload
+                    and self.mesh is None):
+                feats = self._load_feats_overlapped(frames_dir)
+                if feats is not None:
+                    texts = self._collect_videos(self._dispatch_feats(feats))[0]
+            if texts is None:
+                video = self._load_video_to_device(frames_dir)
+                texts = self._infer_videos(video)[0]
             candidates = CaptionCandidates(s1=texts[0], s2=texts[1], s3=texts[2])
             best_key, best_text, _ = select_best(
                 [("S1", candidates.s1), ("S2", candidates.s2), ("S3", candidates.s3)]
@@ -461,6 +473,135 @@ class InferenceEngine:
             log.warning("AOT single-request compile failed (%s); jit path", exc)
             self._aot_single = False
         return self._aot_single or None
+
+    def _fused_feats_program(self):
+        """Companion of ``_fused_infer_program`` taking per-frame ViT
+        features [1, T, embed_dim] instead of pixels — the second half of
+        the overlapped single-request path (the trunk ran per-chunk in
+        ``_load_feats_overlapped`` while later chunks were on the wire)."""
+        if getattr(self, "_feats_program", None) is not None:
+            return self._feats_program
+        program_px, group_list, n_pairs = self._fused_infer_program()
+        model_cfg = self.model_cfg
+        use_unified = self._unified_eligible(group_list)
+
+        from video_caption_tpu.decode.unified import generate_unified
+
+        @jax.jit
+        def program(params, feats, rng):
+            prefix = cm.frames_to_prefix(params, feats, model_cfg)    # [1,P,H]
+            keys = []
+            for _ in group_list:
+                rng, sub = jax.random.split(rng)
+                keys.append(sub)
+            if use_unified:
+                prompts = tuple(
+                    (jnp.asarray(ids_arr), jnp.asarray(mask_arr))
+                    for _, _, ids_arr, mask_arr in group_list
+                )
+                dps = tuple(dp for dp, *_ in group_list)
+                return generate_unified(
+                    params["decoder"], model_cfg.gpt2, prefix, prompts, dps,
+                    tuple(keys),
+                )
+            outs = []
+            for (dp, idxs, ids_arr, mask_arr), sub in zip(group_list, keys):
+                outs.append(self.run_decode_group(
+                    prefix, dp, ids_arr, mask_arr, sub, params=params))
+            return tuple(outs)
+
+        self._feats_program = (program, group_list, n_pairs)
+        return self._feats_program
+
+    def _aot_single_feats_exec(self, example_key):
+        """AOT executable of the feats request program (see _aot_single_exec)."""
+        if getattr(self, "_aot_feats", None) is not None:
+            return self._aot_feats or None
+        program, _, _ = self._fused_feats_program()
+        c = self.config
+        feats_s = jax.ShapeDtypeStruct(
+            (1, c.num_frames, self.model_cfg.vit.embed_dim),
+            self.model_cfg.vit.dtype)
+        try:
+            self._aot_feats = program.lower(
+                self.params, feats_s, example_key).compile()
+        except Exception as exc:
+            log.warning("AOT feats-request compile failed (%s); jit path", exc)
+            self._aot_feats = False
+        return self._aot_feats or None
+
+    def _load_feats_overlapped(self, frames_dir: str, chunk: int = 4):
+        """Overlapped cold-path load for a single request: per chunk of
+        ``chunk`` frames, start the (async) host->device transfer AND
+        dispatch the per-chunk ViT trunk — chunk N's encode runs on device
+        while chunk N+1 is decoding JPEGs / on the wire. Returns per-frame
+        features [1, T, embed_dim], or None when the path doesn't apply
+        (video-cache hit — pixels already on device — or non-cls pooling).
+        The assembled pixel chunks still feed the device video cache so
+        warm repeats keep skipping the wire."""
+        if self.model_cfg.vit.pool != "cls":
+            return None
+        from video_caption_tpu.native.loader import load_frames_native_u8
+        from video_caption_tpu.preprocessing.frame_loader import (
+            list_frames, load_image_u8, sample_frame_paths,
+        )
+
+        key, cached, files = self._video_cache_get(frames_dir)
+        if cached is not None:
+            return None                       # warm path: pixel program
+        if files is None:
+            files = list_frames(frames_dir)
+        if not files:
+            raise FileNotFoundError(f"No frame_*.jpg files found under {frames_dir}")
+        picks = sample_frame_paths(files, self.config.num_frames)
+        while len(picks) < self.config.num_frames:
+            picks.append(picks[-1])
+        size = self.config.image_size
+        use_yuv = self.config.compile.yuv420_wire
+        feat_chunks, pixel_chunks = [], []
+        for start in range(0, len(picks), chunk):
+            part = picks[start:start + chunk]
+            rgb = None
+            if use_yuv:
+                from video_caption_tpu.native.loader import load_frames_native_yuv420
+
+                packed = load_frames_native_yuv420(part, size)
+                if packed is not None:
+                    tail = len(part)
+                    if tail < chunk:
+                        packed = np.concatenate(
+                            [packed, np.repeat(packed[-1:], chunk - tail, axis=0)])
+                    rgb = self._yuv_fn(jax.device_put(packed))
+                    if tail < chunk:
+                        rgb = rgb[:tail]
+            if rgb is None:
+                arr = load_frames_native_u8(part, size)
+                if arr is None:
+                    arr = np.stack([load_image_u8(p, size) for p in part])
+                rgb = jax.device_put(arr)
+            pixel_chunks.append(rgb)
+            # async dispatch: the trunk for this chunk queues behind its own
+            # transfer and runs while the next chunk is still host-side
+            feat_chunks.append(self._chunk_encode_fn(self.params, rgb))
+        feats = jnp.concatenate(feat_chunks, axis=0)[None]      # [1,T,E]
+        video = jnp.concatenate(pixel_chunks, axis=0)[None] if len(pixel_chunks) > 1 \
+            else pixel_chunks[0][None]
+        self._video_cache_put(key, video)
+        return feats
+
+    def _dispatch_feats(self, feats: jax.Array):
+        """Enqueue the feats request program (overlapped single-request
+        path); returns the same handle shape as ``_dispatch_videos``."""
+        program, group_list, n_pairs = self._fused_feats_program()
+        self._rng, sub = jax.random.split(self._rng)
+        aot = self._aot_single_feats_exec(sub) if (
+            self.config.compile.aot_request_program and self.mesh is None
+        ) else None
+        if aot is not None:
+            outs = aot(self.params, feats, sub)
+        else:
+            outs = program(self.params, feats, sub)
+        return outs, group_list, n_pairs, 1
 
     def _unified_eligible(self, group_list) -> bool:
         """The unified mixed-policy program replaces per-group programs when
@@ -662,4 +803,14 @@ class InferenceEngine:
             jnp.uint8,
         )
         self._infer_videos(video)
+        if (self.config.compile.overlap_single_upload and self.mesh is None
+                and self.model_cfg.vit.pool == "cls"):
+            # compile the overlapped cold path too: per-chunk trunk + the
+            # feats request program (AOT) — cold requests hit these first
+            chunk = jnp.zeros((4, 3, self.config.image_size,
+                               self.config.image_size), jnp.uint8)
+            feats = self._chunk_encode_fn(self.params, chunk)
+            t = self.config.num_frames
+            feats = jnp.tile(feats, (-(-t // 4), 1))[:t][None]
+            self._collect_videos(self._dispatch_feats(feats))
         return time.perf_counter() - start

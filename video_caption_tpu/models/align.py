@@ -30,6 +30,17 @@ class AlignConfig:
     text_layers: int = 2
     text_heads: int = 8
     embed_dim: int = 256          # shared retrieval space
+    temporal_mode: str = "mean"
+    """Video-branch temporal pooling:
+    - "mean": plain temporal mean (reference ViTTextAlignModel parity,
+      vit_text_align.py:54-70) — motion/direction information is washed out
+      by construction (mean(f(t)) is order-invariant), measured as the
+      retrieval quality-loop plateau in round 3 (BASELINE.md).
+    - "diff": concat[temporal mean, last-frame minus first-frame features]
+      before the projection — the difference term is ANTI-symmetric under
+      time reversal, so direction-of-motion becomes linearly separable.
+      Changes video_proj's input width to 2*vit.out_dim (not reference
+      ckpt-compatible; the quality-loop/retrieval leg opts in)."""
 
 
 def init_align_params(key: jax.Array, cfg: AlignConfig) -> Params:
@@ -40,9 +51,10 @@ def init_align_params(key: jax.Array, cfg: AlignConfig) -> Params:
     def nrm(shape):
         return init(next(keys), shape, jnp.float32)
 
+    vproj_in = cfg.vit.out_dim * (2 if cfg.temporal_mode == "diff" else 1)
     return {
         "vit": vt.init_vit_params(next(keys), cfg.vit),
-        "video_proj": {"w": nrm((cfg.vit.out_dim, cfg.embed_dim)), "b": jnp.zeros((cfg.embed_dim,))},
+        "video_proj": {"w": nrm((vproj_in, cfg.embed_dim)), "b": jnp.zeros((cfg.embed_dim,))},
         "tok_embed": nrm((cfg.vocab_size, td)),
         "pos_embed": nrm((cfg.max_text_len, td)),
         "text_blocks": {
@@ -63,7 +75,16 @@ def _l2(x: jax.Array) -> jax.Array:
 
 def encode_video(params: Params, video: jax.Array, cfg: AlignConfig) -> jax.Array:
     """[B,T,3,H,W] -> L2-normalized [B, embed_dim]."""
-    feat = vt.vit_encode(params["vit"], video, cfg.vit)
+    if cfg.temporal_mode == "diff":
+        b, t = video.shape[0], video.shape[1]
+        frames = video.reshape(b * t, *video.shape[2:])
+        pf = vt.vit_encode_frames(params["vit"], frames, cfg.vit)   # [B*T, E]
+        enc = params["vit"]
+        pf = pf @ enc["head"]["w"].astype(pf.dtype) + enc["head"]["b"].astype(pf.dtype)
+        pf = pf.reshape(b, t, -1).astype(jnp.float32)
+        feat = jnp.concatenate([jnp.mean(pf, axis=1), pf[:, -1] - pf[:, 0]], axis=-1)
+    else:
+        feat = vt.vit_encode(params["vit"], video, cfg.vit)
     out = feat @ params["video_proj"]["w"] + params["video_proj"]["b"]
     return _l2(out)
 

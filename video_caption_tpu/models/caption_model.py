@@ -135,6 +135,31 @@ def video_to_prefix(params: Params, video: jax.Array, cfg: CaptionModelConfig) -
     return map_prefix(params, emb, cfg)
 
 
+def encode_frames(params: Params, frames: jax.Array, cfg: CaptionModelConfig) -> jax.Array:
+    """Per-frame half of the visual branch: [C,3,H,W] uint8/fp32 ->
+    per-frame ViT features [C, embed_dim]. Pairs with
+    ``frames_to_prefix`` — the engine's single-request path encodes each
+    uploaded CHUNK of frames while the next chunk is still on the wire
+    (vit.vit_encode_frames docstring)."""
+    return vt.vit_encode_frames(params["encoder"], frames, cfg.vit)
+
+
+def frames_to_prefix(params: Params, per_frame: jax.Array, cfg: CaptionModelConfig) -> jax.Array:
+    """Finish the visual branch from per-frame ViT features [B,T,embed_dim]:
+    temporal pool + head -> proj -> prefix norm -> mapper -> [B,P,H].
+    ``frames_to_prefix(encode_frames(chunks)) == video_to_prefix(video)``
+    for pool='cls' (per-frame trunk math has no cross-frame reductions)."""
+    emb = vt.vit_finish(params["encoder"], per_frame, cfg.vit)
+    if "proj" in params:
+        emb = emb @ params["proj"]["w"] + params["proj"]["b"]
+    if "proj_mlp" in params:
+        m = params["proj_mlp"]
+        h = jax.nn.relu(emb @ m["fc1"]["w"] + m["fc1"]["b"])
+        emb = h @ m["fc2"]["w"] + m["fc2"]["b"]
+    emb = apply_prefix_norm(emb, cfg.ln_scale, cfg.in_weight)
+    return map_prefix(params, emb, cfg)
+
+
 def build_decoder_inputs(
     params: Params,
     prefix: jax.Array,        # [B,P,H]

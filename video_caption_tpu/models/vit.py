@@ -63,6 +63,15 @@ class ViTConfig:
     below the matmul roofline. False = evaluate GELU in the compute dtype
     (bf16): ~1e-2 relative activation noise, inside the deployment
     bf16-vs-fp32 alignment budget — measured before flipping any default."""
+    patch_conv: bool = True
+    """Patch embedding via XLA's native strided conv instead of the explicit
+    reshape/transpose + matmul. Same arithmetic (the conv IS the reference's
+    timm patch embed); the explicit patchify forced ~11 ms of 6-D transpose
+    copies per bs=64 encode (hlo_stats r4: reshape.57 + copy.9/10), the conv
+    lowers to the TPU's native convolution path — measured 297.0 -> 288.3 ms
+    full-encode (61.5 -> 63.3% MFU, scripts/exp_encode_v5.py). Accumulation
+    order differs from the matmul path by bf16 rounding (rel 5e-3 on encoder
+    outputs, inside the 5e-2 deployment alignment gate)."""
     remat: bool = False
     """Rematerialize each transformer block in the backward pass
     (``jax.checkpoint`` around the scanned block). Training-only lever:
@@ -71,16 +80,6 @@ class ViTConfig:
     full-size align trainer OOM'd 16 GB HBM exactly there); remat keeps only
     the per-layer carries and recomputes the rest, trading ~33% more trunk
     FLOPs. Inference paths (no grad) are unaffected by the flag."""
-    trunk_2d: bool = False
-    """Run the transformer blocks on a 2D [N*S, H] residual stream instead
-    of 3D [N, S, H], reshaping to [N, S, 3H] only at the attention-kernel
-    boundary (a free bitcast when the 2D stream is row-major). Rationale:
-    with 3D activations XLA assigns the LN/MLP fusion chain an N-minor
-    layout {0,2,1} and pays a full relayout copy per layer in front of the
-    row-major QKV matmul (hlo_stats on v5e, bs=64x16 frames: copy.37 =
-    11.5 ms/iter of a 299 ms encode). A 2D stream leaves only {1,0}/{0,1}
-    choices, removing the mismatch. Arithmetic is identical to the 3D path
-    (reshapes only)."""
 
     @property
     def num_patches(self) -> int:
@@ -200,25 +199,6 @@ def _block(x: jax.Array, blk: Params, cfg: ViTConfig) -> jax.Array:
     return x + y
 
 
-def _block_2d(x: jax.Array, blk: Params, cfg: ViTConfig, n: int, s: int) -> jax.Array:
-    """Same arithmetic as _block on a flat [N*S, H] residual stream
-    (cfg.trunk_2d docstring: keeps the whole LN/matmul chain in 2D so XLA
-    never picks an N-minor 3D layout; the attention boundary reshape is a
-    bitcast on row-major data)."""
-    h = cfg.embed_dim
-    y = _layer_norm(x, blk["ln1_scale"], blk["ln1_bias"])
-    qkv = y @ blk["qkv_w"].astype(x.dtype) + blk["qkv_b"].astype(x.dtype)  # [N*S,3H]
-    out = _attention_core(qkv.reshape(n, s, 3 * h), cfg).reshape(n * s, h)
-    x = x + (out @ blk["proj_w"].astype(x.dtype) + blk["proj_b"].astype(x.dtype))
-    y = _layer_norm(x, blk["ln2_scale"], blk["ln2_bias"])
-    y = y @ blk["fc1_w"].astype(x.dtype) + blk["fc1_b"].astype(x.dtype)
-    if cfg.gelu_f32:
-        y = jax.nn.gelu(y.astype(jnp.float32), approximate=cfg.gelu_approx).astype(x.dtype)
-    else:
-        y = jax.nn.gelu(y, approximate=cfg.gelu_approx)
-    y = y @ blk["fc2_w"].astype(x.dtype) + blk["fc2_b"].astype(x.dtype)
-    return x + y
-
 
 def vit_trunk(params: Params, images: jax.Array, cfg: ViTConfig,
               *, cls_only: bool = False) -> jax.Array:
@@ -233,27 +213,23 @@ def vit_trunk(params: Params, images: jax.Array, cfg: ViTConfig,
     then discarded (reference computes the full norm because timm's
     forward_features does: video_encoder.py:288-314)."""
     dt = cfg.dtype
-    x = _patchify(images.astype(dt), cfg.patch_size)
-    x = x @ params["patch_embed"]["w"].astype(dt) + params["patch_embed"]["b"].astype(dt)
+    pe_w = params["patch_embed"]["w"].astype(dt)
+    pe_b = params["patch_embed"]["b"].astype(dt)
+    if cfg.patch_conv:
+        p = cfg.patch_size
+        # stored weight is [patch_dim(c,ky,kx), H] — the conv kernel view
+        wk = pe_w.reshape(cfg.in_chans, p, p, -1)
+        x = jax.lax.conv_general_dilated(
+            images.astype(dt), wk, (p, p), "VALID",
+            dimension_numbers=("NCHW", "IHWO", "NHWC"))
+        x = x.reshape(images.shape[0], cfg.num_patches, -1) + pe_b
+    else:
+        x = _patchify(images.astype(dt), cfg.patch_size)
+        x = x @ pe_w + pe_b
     n = x.shape[0]
     cls = jnp.broadcast_to(params["cls_token"].astype(dt), (n, 1, cfg.embed_dim))
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"].astype(dt)
-
-    if cfg.trunk_2d:
-        s = x.shape[1]
-        x = x.reshape(n * s, cfg.embed_dim)
-
-        def body2(carry, blk):
-            return _block_2d(carry, blk, cfg, n, s), None
-
-        if cfg.remat:
-            body2 = jax.checkpoint(body2)
-        x, _ = jax.lax.scan(body2, x, params["blocks"])
-        x = x.reshape(n, s, cfg.embed_dim)
-        if cls_only:
-            x = x[:, :1, :]
-        return _layer_norm(x, params["norm_scale"], params["norm_bias"])
 
     def body(carry, blk):
         return _block(carry, blk, cfg), None
@@ -306,6 +282,35 @@ def normalize_pixels(video: jax.Array) -> jax.Array:
     x = video.astype(jnp.float32) / 255.0
     shape = (1,) * (video.ndim - 3) + (3, 1, 1)
     return (x - IMAGENET_MEAN.reshape(shape)) / IMAGENET_STD.reshape(shape)
+
+
+def vit_encode_frames(params: Params, frames: jax.Array, cfg: ViTConfig) -> jax.Array:
+    """Per-frame half of ``vit_encode``: [C,3,H,W] (uint8 or fp32) ->
+    per-frame pooled features [C, embed_dim] (compute dtype).
+
+    Exists so the engine's single-request path can ENCODE each uploaded
+    chunk of frames while the next chunk is still on the wire (the batch
+    path already overlaps uploads; the single request paid its full
+    ~40 ms device_put serially — BASELINE.md round-3 p50 attribution).
+    ``vit_encode(video) == vit_finish(vit_encode_frames(frames))`` for
+    pool='cls': per-frame trunk math has no cross-frame reductions, so
+    chunking the frame batch does not change any per-frame value."""
+    if frames.dtype == jnp.uint8:
+        frames = normalize_pixels(frames)
+    if cfg.pool == "cls":
+        tokens = vit_trunk(params, frames, cfg, cls_only=True)   # [C,1,H]
+        return tokens[:, 0, :]
+    tokens = vit_trunk(params, frames, cfg)
+    return jnp.mean(tokens[:, 1:, :], axis=1)                    # gap
+
+
+def vit_finish(params: Params, per_frame: jax.Array, cfg: ViTConfig) -> jax.Array:
+    """Temporal half of ``vit_encode``: per-frame features [B,T,embed_dim]
+    -> [B, out_dim] fp32. fp32-accumulated temporal mean matching
+    pool_temporal / the Pallas fused_pool semantics."""
+    pooled = jnp.mean(per_frame.astype(jnp.float32), axis=1).astype(per_frame.dtype)
+    out = pooled @ params["head"]["w"].astype(pooled.dtype) + params["head"]["b"].astype(pooled.dtype)
+    return out.astype(jnp.float32)
 
 
 def vit_encode(params: Params, video: jax.Array, cfg: ViTConfig) -> jax.Array:

@@ -35,5 +35,12 @@ class ModelRegistry:
     def __len__(self) -> int:
         return len(self._engines)
 
+    def clear(self) -> None:
+        """Drop every cached engine (benchmarks that rebuild with different
+        env-derived settings, e.g. the sweep's cache-off leg — the video
+        cache budget is read from the environment at engine build)."""
+        with self._lock:
+            self._engines.clear()
+
 
 MODEL_REGISTRY = ModelRegistry()

@@ -44,14 +44,25 @@ SHAPES = ("square", "ball")
 MOTIONS = {"left": (-1, 0), "right": (1, 0), "up": (0, -1), "down": (0, 1)}
 
 
-def class_caption(color: str, shape: str, motion: str) -> str:
-    return f"a {color} {shape} moves {motion}"
+SIZE_WORDS = {"small": 11, "big": 5}   # divisor of image_size for the radius
+
+
+def class_caption(color: str, shape: str, motion: str,
+                  size_word: str = "") -> List[str]:
+    """Two reference paraphrases per class — corpus BLEU gets multi-reference
+    support and the language stops being a single memorizable template
+    (VERDICT r3 #7: 'a harder synthetic language')."""
+    sz = f"{size_word} " if size_word else ""
+    return [
+        f"a {sz}{color} {shape} moves {motion}",
+        f"the {sz}{color} {shape} is moving {motion}",
+    ]
 
 
 def _render_frame(size: int, color, shape: str, cx: float, cy: float,
-                  rng: np.random.RandomState) -> np.ndarray:
+                  rng: np.random.RandomState, r: int = 0) -> np.ndarray:
     img = rng.randint(16, 48, (size, size, 3)).astype(np.uint8)   # noise background
-    r = size // 7
+    r = r or size // 7
     y, x = np.ogrid[:size, :size]
     if shape == "ball":
         mask = (x - cx) ** 2 + (y - cy) ** 2 <= r * r
@@ -64,25 +75,32 @@ def _render_frame(size: int, color, shape: str, cx: float, cy: float,
 def make_synthetic_dataset(
     root: str, num_frames: int = 8, image_size: int = 224,
     train_per_class: int = 4, val_per_class: int = 2, seed: int = 0,
-    colors: int = 4, shapes: int = 2, motions: int = 2,
+    colors: int = 4, shapes: int = 2, motions: int = 2, sizes: int = 1,
 ) -> Dict[str, str]:
-    """Render the dataset; returns {"train": ann_path, "val": ann_path}."""
+    """Render the dataset; returns {"train": ann_path, "val": ann_path}.
+
+    ``sizes`` > 1 adds object size as a fourth class factor (small/big,
+    rendered as distinct radii and captioned with a size word). The round-4
+    quality-loop scale is colors=6 x shapes=2 x motions=4 x sizes=2 = 96
+    classes (>=128 val clips at val_per_class=2 — VERDICT r3 #7)."""
     from PIL import Image
 
+    size_words = list(SIZE_WORDS) if sizes > 1 else [""]
     classes = [
-        (c, s, m)
+        (c, s, m, sw)
         for c in list(COLORS)[:colors]
         for s in SHAPES[:shapes]
         for m in list(MOTIONS)[:motions]
+        for sw in size_words[:max(sizes, 1)]
     ]
     rng = np.random.RandomState(seed)
     out = {}
     rootp = Path(root)
     for split, per_class in (("train", train_per_class), ("val", val_per_class)):
         records = []
-        for ci, (color, shape, motion) in enumerate(classes):
+        for ci, (color, shape, motion, sw) in enumerate(classes):
             for inst in range(per_class):
-                vid = f"{split}_{color}_{shape}_{motion}_{inst}"
+                vid = f"{split}_{color}_{shape}_{motion}_{sw or 'mid'}_{inst}"
                 d = rootp / split / "frames" / vid
                 d.mkdir(parents=True, exist_ok=True)
                 dx, dy = MOTIONS[motion]
@@ -92,14 +110,16 @@ def make_synthetic_dataset(
                 cx = margin + rng.randint(0, span // 3) + (span // 3 if dx < 0 else 0)
                 cy = margin + rng.randint(0, span // 3) + (span // 3 if dy < 0 else 0)
                 step = span // (2 * num_frames)
+                radius = image_size // SIZE_WORDS[sw] if sw else 0
                 for f in range(num_frames):
                     img = _render_frame(
                         image_size, COLORS[color], shape,
-                        cx + dx * step * f * 2, cy + dy * step * f * 2, rng)
+                        cx + dx * step * f * 2, cy + dy * step * f * 2, rng,
+                        r=radius)
                     Image.fromarray(img).save(d / f"frame_{f:05d}.jpg", quality=95)
                 records.append({
                     "video_id": vid, "split": split,
-                    "captions": [class_caption(color, shape, motion)],
+                    "captions": class_caption(color, shape, motion, sw),
                     "num_frames": num_frames, "frames_dir": str(d),
                 })
         ann = rootp / split / "annotations.json"
@@ -167,7 +187,8 @@ def train_stage3_lm(params, gcfg, captions: List[str], tokenizer,
 
 def train_align(ann_path: str, num_frames: int, image_size: int,
                 max_steps: int = 300, lr: float = 1e-3, seed: int = 0,
-                log_every: int = 25):
+                log_every: int = 25, temporal_mode: str = "diff",
+                batch_size: int = 96):
     """Stage-1-style dual-encoder training (reference ViTTextAlignModel,
     src/models/vit_text_align.py) on the synthetic pairs; returns
     (cfg, trained_params, random_params, tokenizer).
@@ -197,8 +218,14 @@ def train_align(ann_path: str, num_frames: int, image_size: int,
     # remat: the full-size run (96 records x 8 frames, 224px) OOM'd 16 GB HBM
     # on the fwd+bwd activation stash ([12,N*T,197,768] f32 buffers); block
     # rematerialization trades ~33% trunk FLOPs for a per-layer-carry stash
+    # temporal_mode="diff" (default here): the plain temporal mean is
+    # order-invariant, so direction-of-motion — half the synthetic class
+    # signal — was unlearnable by construction (round-3 plateau,
+    # BASELINE.md); the mean||last-first form makes it linearly separable
+    # (align.AlignConfig.temporal_mode docstring)
     cfg = align.AlignConfig(vit=vt.ViTConfig(
-        image_size=image_size, dtype=jnp.float32, pool="gap", remat=True))
+        image_size=image_size, dtype=jnp.float32, pool="gap", remat=True),
+        temporal_mode=temporal_mode)
     key = jax.random.PRNGKey(seed)
     params0 = align.init_align_params(key, cfg)
 
@@ -215,6 +242,8 @@ def train_align(ann_path: str, num_frames: int, image_size: int,
 
     videos_j = jnp.asarray(videos)
     ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
+    n_rec = len(records)
+    bs = min(batch_size, n_rec)
 
     optimizer = optax.adam(lr)
     params = params0
@@ -222,9 +251,13 @@ def train_align(ann_path: str, num_frames: int, image_size: int,
 
     @jax.jit
     def step(p, s, key):
+        # minibatched in-batch InfoNCE: full-batch over 288 records x 8
+        # frames fwd+bwd per step doesn't fit a sane step time at 224px
+        pick = jax.random.choice(key, n_rec, (bs,), replace=False)
+
         def loss_fn(q):
-            v = align.encode_video(q, videos_j, cfg)
-            t = align.encode_text(q, ids_j, mask_j, cfg)
+            v = align.encode_video(q, videos_j[pick], cfg)
+            t = align.encode_text(q, ids_j[pick], mask_j[pick], cfg)
             # Symmetric in-batch InfoNCE over the whole (small) pair set.
             # The reference's pairwise cosine-embedding loss with ONE rolled
             # negative (vit_text_align training, kept verbatim in
@@ -260,9 +293,17 @@ def train_align(ann_path: str, num_frames: int, image_size: int,
 
 
 def eval_align_retrieval(cfg, params, ann_path: str, num_frames: int,
-                         image_size: int, tokenizer) -> Dict[str, float]:
+                         image_size: int, tokenizer,
+                         one_per_class: bool = False,
+                         all_captions: bool = False) -> Dict[str, float]:
     """Text->video retrieval on a split: encode videos into the index and
-    each video's caption as the query (reference eval_retrieval.py:33-52)."""
+    each video's caption as the query (reference eval_retrieval.py:33-52).
+
+    ``one_per_class`` keeps one video per synthetic class in the index —
+    duplicate-class videos are indistinguishable targets for a templated
+    caption query, capping Recall@1 far below 1 regardless of model quality.
+    ``all_captions`` queries every reference paraphrase (each one must
+    retrieve its record's video), giving >=2x the query count."""
     import jax.numpy as jnp
 
     from video_caption_tpu.models import align
@@ -271,22 +312,35 @@ def eval_align_retrieval(cfg, params, ann_path: str, num_frames: int,
     from video_caption_tpu.retrieval.index import VectorIndex
 
     records = json.loads(Path(ann_path).read_text(encoding="utf-8"))
+    if one_per_class:
+        seen, kept = set(), []
+        for r in records:
+            klass = r["video_id"].rsplit("_", 1)[0]
+            if klass not in seen:
+                seen.add(klass)
+                kept.append(r)
+        records = kept
     videos = np.stack([
         load_video_array(r["frames_dir"], num_frames, image_size) for r in records
     ])[:, 0]
     vfeat = np.asarray(align.encode_video(params, jnp.asarray(videos), cfg))
+    queries = [
+        (cap, r["video_id"])
+        for r in records
+        for cap in (r["captions"] if all_captions else r["captions"][:1])
+    ]
     max_len = 16
-    ids = np.zeros((len(records), max_len), np.int32)
-    mask = np.zeros((len(records), max_len), np.int32)
-    for i, r in enumerate(records):
-        t = tokenizer.encode(r["captions"][0])[:max_len]
+    ids = np.zeros((len(queries), max_len), np.int32)
+    mask = np.zeros((len(queries), max_len), np.int32)
+    for i, (cap, _) in enumerate(queries):
+        t = tokenizer.encode(cap)[:max_len]
         ids[i, :len(t)] = t
         mask[i, :len(t)] = 1
     tfeat = np.asarray(align.encode_text(params, jnp.asarray(ids), jnp.asarray(mask), cfg))
     index = VectorIndex(vfeat.shape[1])
     index.add(vfeat)
     rec_ids = [r["video_id"] for r in records]
-    return evaluate_retrieval(tfeat, rec_ids, index, rec_ids)
+    return evaluate_retrieval(tfeat, [q[1] for q in queries], index, rec_ids)
 
 
 def main(argv=None) -> int:
@@ -296,8 +350,15 @@ def main(argv=None) -> int:
     p.add_argument("--out_dir", default="reports/quality_loop")
     p.add_argument("--num_frames", type=int, default=8)
     p.add_argument("--image_size", type=int, default=224)
-    p.add_argument("--stage3_steps", type=int, default=500)
-    p.add_argument("--mapper_steps", type=int, default=600)
+    # round-4 scale (VERDICT r3 #7): 6x2x4x2 = 96 classes, 192 val clips
+    p.add_argument("--colors", type=int, default=6)
+    p.add_argument("--shapes", type=int, default=2)
+    p.add_argument("--motions", type=int, default=4)
+    p.add_argument("--sizes", type=int, default=2)
+    p.add_argument("--train_per_class", type=int, default=3)
+    p.add_argument("--val_per_class", type=int, default=2)
+    p.add_argument("--stage3_steps", type=int, default=700)
+    p.add_argument("--mapper_steps", type=int, default=1500)
     p.add_argument("--mapper_bs", type=int, default=8)
     p.add_argument("--unfreeze_last_gpt2", type=int, default=2,
                    help="GPT-2 tail blocks trained at lr_gpt2 in the mapper "
@@ -319,9 +380,12 @@ def main(argv=None) -> int:
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     anns = make_synthetic_dataset(
-        args.root, num_frames=args.num_frames, image_size=args.image_size)
+        args.root, num_frames=args.num_frames, image_size=args.image_size,
+        colors=args.colors, shapes=args.shapes, motions=args.motions,
+        sizes=args.sizes, train_per_class=args.train_per_class,
+        val_per_class=args.val_per_class)
     train_records = json.loads(Path(anns["train"]).read_text())
-    captions = sorted({r["captions"][0] for r in train_records})
+    captions = sorted({c for r in train_records for c in r["captions"]})
     tokenizer = get_tokenizer()
 
     inf_cfg = default_inference_config(
@@ -402,9 +466,11 @@ def main(argv=None) -> int:
         anns["train"], args.num_frames, args.image_size,
         max_steps=args.align_steps)
     ret_trained = eval_align_retrieval(
-        acfg, atrained, anns["val"], args.num_frames, args.image_size, tok)
+        acfg, atrained, anns["val"], args.num_frames, args.image_size, tok,
+        one_per_class=True, all_captions=True)
     ret_random = eval_align_retrieval(
-        acfg, arandom, anns["val"], args.num_frames, args.image_size, tok)
+        acfg, arandom, anns["val"], args.num_frames, args.image_size, tok,
+        one_per_class=True, all_captions=True)
     ret_csv = out_dir / "retrieval.csv"
     with ret_csv.open("w") as fh:
         fh.write("model,recall@1,recall@5,mrr,num_queries\n")
