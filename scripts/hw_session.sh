@@ -7,6 +7,9 @@ set -u
 OUT=/tmp/hw_session
 mkdir -p "$OUT"
 cd /root/repo
+# keep the device-plugin site (PYTHONPATH as shipped) AND make the repo
+# importable for `python scripts/<x>.py` entries (sys.path[0] is scripts/)
+export PYTHONPATH="/root/repo${PYTHONPATH:+:$PYTHONPATH}"
 
 run() {
   name=$1; shift; tmo=$1; shift
