@@ -175,6 +175,17 @@ class CompileConfig:
     dispatch gaps the engine never pays. Unified's uniform-K dead rows
     (576 rows vs 448 live: sampled instances ride as K_max=3) cost more
     than the shared weight stream saves at this geometry."""
+    unified_fused_request: bool = _env_bool("VIDEO_CAPTION_UNIFIED_FUSED", True)
+    """Use the unified mixed-policy decode INSIDE the fused request program
+    (the single-video/AOT path and fuse_request_program mode). Unlike the
+    batch path above, the fused program has no async pipelining to lose:
+    its decode groups run SEQUENTIALLY in one XLA program, each re-streaming
+    the full GPT-2 weights (~250 MB/step) — at V=1 that traffic dominates
+    the whole decode, so sharing one weight stream across all three presets
+    is a strict win (on-chip A/B 2026-08-19, bs=64: unified 145.1 ms vs
+    165.8 ms sequential groups; the gap widens at V=1 where the dead-row
+    padding is negligible). Token outputs are identical (decode/unified.py
+    guarantee). Same eligibility gates as unified_decode."""
 
 
 @dataclass(frozen=True)

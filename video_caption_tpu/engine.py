@@ -417,7 +417,7 @@ class InferenceEngine:
                 mask_arr[row, max_len - len(ids):] = 1
             group_list.append((dp, tuple(idxs), ids_arr, mask_arr))
         model_cfg = self.model_cfg
-        use_unified = self._unified_eligible(group_list)
+        use_unified = self._unified_eligible(group_list, fused_program=True)
 
         from video_caption_tpu.decode import generate as gen
         from video_caption_tpu.decode.unified import generate_unified
@@ -483,7 +483,7 @@ class InferenceEngine:
             return self._feats_program
         program_px, group_list, n_pairs = self._fused_infer_program()
         model_cfg = self.model_cfg
-        use_unified = self._unified_eligible(group_list)
+        use_unified = self._unified_eligible(group_list, fused_program=True)
 
         from video_caption_tpu.decode.unified import generate_unified
 
@@ -603,13 +603,22 @@ class InferenceEngine:
             outs = program(self.params, feats, sub)
         return outs, group_list, n_pairs, 1
 
-    def _unified_eligible(self, group_list) -> bool:
+    def _unified_eligible(self, group_list, fused_program: bool = False) -> bool:
         """The unified mixed-policy program replaces per-group programs when
         there are >= 2 policy groups and no incompatible experimental mode
         (the fused decode-layer kernel commits a different cache layout;
-        early_stop commits a while_loop per group)."""
+        early_stop commits a while_loop per group).
+
+        ``fused_program``: inside the fused request program the groups run
+        SEQUENTIALLY in one XLA program (no async pipelining to lose), so
+        the unified program's shared per-step weight stream is a strict win
+        there (CompileConfig.unified_fused_request) even while the batched
+        async-dispatch path keeps grouped decode."""
+        want = self.config.compile.unified_decode or (
+            fused_program and self.config.compile.unified_fused_request
+        )
         return (
-            self.config.compile.unified_decode
+            want
             and len(group_list) > 1
             and not self.model_cfg.gpt2.use_pallas_decode_layer
             and not any(dp.early_stop for dp, *_ in group_list)

@@ -250,14 +250,19 @@ def train_align(ann_path: str, num_frames: int, image_size: int,
     opt_state = optimizer.init(params)
 
     @jax.jit
-    def step(p, s, key):
+    def step(p, s, key, videos_a, ids_a, mask_a):
         # minibatched in-batch InfoNCE: full-batch over 288 records x 8
-        # frames fwd+bwd per step doesn't fit a sane step time at 224px
+        # frames fwd+bwd per step doesn't fit a sane step time at 224px.
+        # The dataset arrays are ARGUMENTS, not closed-over device arrays:
+        # a closure captures them as HLO constants, and the 96x8x3x224x224
+        # fp32 video tensor (~460 MB) baked into the module blew the axon
+        # remote-compile request-size limit (HTTP 413, 2026-08-19). As
+        # arguments they stay on device across steps and ship zero bytes.
         pick = jax.random.choice(key, n_rec, (bs,), replace=False)
 
         def loss_fn(q):
-            v = align.encode_video(q, videos_j[pick], cfg)
-            t = align.encode_text(q, ids_j[pick], mask_j[pick], cfg)
+            v = align.encode_video(q, videos_a[pick], cfg)
+            t = align.encode_text(q, ids_a[pick], mask_a[pick], cfg)
             # Symmetric in-batch InfoNCE over the whole (small) pair set.
             # The reference's pairwise cosine-embedding loss with ONE rolled
             # negative (vit_text_align training, kept verbatim in
@@ -285,7 +290,8 @@ def train_align(ann_path: str, num_frames: int, image_size: int,
     last = None
     for i in range(max_steps):
         key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, sub)
+        params, opt_state, loss = step(params, opt_state, sub,
+                                       videos_j, ids_j, mask_j)
         last = float(loss)
         if (i + 1) % log_every == 0:
             log.info("align step %d loss %.4f", i + 1, last)
