@@ -62,12 +62,20 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(500, {"detail": str(err)})
 
 
+class _Server(ThreadingHTTPServer):
+    # socketserver's default listen backlog (request_queue_size) is 5: under
+    # bursty load at tens of QPS the SYN queue overflows and clients see
+    # connection resets — measured as the 2 errors that failed the 48 QPS
+    # sweep rung (reports/serving_load_sweep.json, 2026-08-19).
+    request_queue_size = 128
+
+
 class StdlibServer:
     """Threaded HTTP server; ``serve_forever`` blocks, ``start`` runs in a
     daemon thread (used by tests and the CLI fallback)."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 8001):
-        self.httpd = ThreadingHTTPServer((host, port), _Handler)
+        self.httpd = _Server((host, port), _Handler)
         self.host, self.port = self.httpd.server_address[:2]
         self._thread: Optional[threading.Thread] = None
 
