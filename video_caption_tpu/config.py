@@ -106,19 +106,29 @@ class CompileConfig:
     deferred_decode_cache_write: bool = _env_bool("VIDEO_CAPTION_DEFERRED_KV_WRITE", False)
     """Greedy/sampled decode: batch all 12 per-layer KV-cache writes into
     ONE post-loop dynamic_update_slice (g2.GPT2Config.deferred_cache_write
-    docstring). Off pending the hardware A/B."""
+    docstring). Off on the device-level A/B (hlo self-time, v5e 2026-08-19,
+    scripts/ab_sample_cache.py): sampled 37.8 vs 38.2 ms (noise), beam 78.0
+    vs 73.4 ms (worse — the stacked write + explicit self-attend column
+    costs more than the 12 slab writes it replaces)."""
     use_pallas_lm_head: bool = _env_bool("VIDEO_CAPTION_PALLAS_LM_HEAD", True)
     """Fused LM-head + selection-statistics kernel in the decode step
     (ops/pallas/lm_head.py)."""
-    sample_split_cache: bool = _env_bool("VIDEO_CAPTION_SAMPLE_SPLIT_CACHE", True)
+    sample_split_cache: bool = _env_bool("VIDEO_CAPTION_SAMPLE_SPLIT_CACHE", False)
     """Greedy/sampled decode over the beam path's split KV cache (read-only
     merged-H prefill + time-major [L,N,2,B,H] gen region) instead of the
-    contiguous [L,B,max_len,2,nh,hd] cache whose (12,64) minor dims tile-pad
-    2.67x (GPT2Config.sample_split_cache docstring). Default follows the
-    on-chip A/B (scripts/ab_decode.py 'contig_sample' variant)."""
+    contiguous [L,B,max_len,2,nh,hd] cache. The tile-padding theory said
+    split should win (contig's (12,64) minor dims pad 2.67x) but the
+    DEVICE-level A/B says otherwise (hlo self-time, v5e 2026-08-19,
+    scripts/ab_sample_cache.py): contig 32.9 ms vs split 38.2 ms per
+    sampled-group iteration at bs=64 — the K=1 step is latency- not
+    bandwidth-bound at N=24+prompt, and split pays two attention programs
+    (prefill + gen) where contig pays one. Default = contig."""
     use_pallas_beam_attention: bool = _env_bool("VIDEO_CAPTION_PALLAS_BEAM_ATTN", True)
     """Beam decode attention custom call (ops/pallas/beam_attention.py) —
     also the gen-cache layout anchor (GPT2Config docstring)."""
+    beam_attn_time_blocked: bool = _env_bool("VIDEO_CAPTION_BEAM_ATTN_V2", False)
+    """Time-blocked beam-attention kernel (flash accumulators; fetches only
+    the gen-cache blocks containing columns <= t). Opt-in pending A/B."""
     use_pallas_decode_layer: bool = _env_bool("VIDEO_CAPTION_PALLAS_DECODE_LAYER", False)
     """Fused whole-layer decode kernel for the greedy/sampled step
     (ops/pallas/decode_layer.py). Auto-disabled under int8 quantization."""

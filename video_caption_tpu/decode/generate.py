@@ -70,11 +70,12 @@ def _candidate_path_ok(dp: DecodeParams) -> bool:
     return dp.repetition_penalty >= 1.0
 
 
-def _topk_processed(last_scores, generated, t, k, dp: DecodeParams, wmax=None):
+def _topk_processed(last_scores, generated, t, k, dp: DecodeParams, wmax=None,
+                    spmd=False):
     return lp.topk_processed(
         last_scores, generated, t, k,
         dp.repetition_penalty, dp.no_repeat_ngram_size, dp.min_new_tokens, dp.eos_id,
-        wmax=wmax,
+        wmax=wmax, spmd=spmd,
     )
 
 
@@ -137,6 +138,7 @@ def sample_select(
     dp: DecodeParams,
     rng: jax.Array,
     wmax: jax.Array = None,   # [B, V/128] precomputed window maxima (lm_stats)
+    spmd: bool = False,       # mesh-safe candidate gather (GPT2Config.spmd_decode)
 ):
     """One greedy/sampled token-selection step (the non-forward half of
     ``greedy_or_sample``'s scan body, shared with the unified mixed-policy
@@ -149,11 +151,12 @@ def sample_select(
         if dp.do_sample:
             rng, sub = jax.random.split(rng)
             vals, idxs = _topk_processed(last_logits, generated, t, dp.top_k, dp,
-                                         wmax=wmax)
+                                         wmax=wmax, spmd=spmd)
             vals = lp.apply_temperature(vals, dp.temperature)
             token = lp.sample_sorted_top_p(sub, vals, idxs, dp.top_p)
         else:
-            _, idxs = _topk_processed(last_logits, generated, t, 1, dp, wmax=wmax)
+            _, idxs = _topk_processed(last_logits, generated, t, 1, dp, wmax=wmax,
+                                      spmd=spmd)
             token = idxs[:, 0]
     else:
         logits = _process_logits(last_logits, generated, t, dp)
@@ -224,7 +227,8 @@ def greedy_or_sample(
     # the whole decode wasted. Token outputs are bit-identical: same ops in
     # the same per-token order, minus the discarded forward.
     token0, generated, finished, rng = sample_select(
-        last_logits, generated, finished, jnp.int32(0), dp, rng, wmax=last_wmax
+        last_logits, generated, finished, jnp.int32(0), dp, rng, wmax=last_wmax,
+        spmd=gpt2_cfg.spmd_decode,
     )
 
     if split:
@@ -239,7 +243,8 @@ def greedy_or_sample(
                 t - 1, gpt2_cfg, wte_t=wte_t, return_stats=True,
             )
             token, generated, finished, rng = sample_select(
-                logits, generated, finished, t, dp, rng, wmax=wmax
+                logits, generated, finished, t, dp, rng, wmax=wmax,
+                spmd=gpt2_cfg.spmd_decode,
             )
             return (token, gen_cache, generated, finished, rng), None
 
@@ -272,7 +277,8 @@ def greedy_or_sample(
             wte_t=wte_t, return_stats=True, row_stats=False,
         )
         token, generated, finished, rng = sample_select(
-            logits, generated, finished, t, dp, rng, wmax=wmax
+            logits, generated, finished, t, dp, rng, wmax=wmax,
+            spmd=gpt2_cfg.spmd_decode,
         )
         return (token, cache, valid, generated, finished, rng), None
 
@@ -307,6 +313,7 @@ def beam_select(
     stats=None,               # optional (wmax [B*K, V/128], m [B*K], l [B*K])
                               # from g2.lm_stats — skips the in-loop row
                               # max / sum-exp / window-max recomputation
+    spmd: bool = False,       # mesh-safe candidate gather (GPT2Config.spmd_decode)
 ):
     """One beam-search selection step (the non-forward half of
     ``beam_search``'s scan body, shared with the unified mixed-policy
@@ -338,7 +345,7 @@ def beam_select(
         row_vals, row_idx = lp.topk_processed(
             lx, flat_gen, t, 2 * k,
             dp.repetition_penalty, dp.no_repeat_ngram_size, dp.min_new_tokens,
-            dp.eos_id, shift_max=m, shift_logsum=ls, wmax=wmax,
+            dp.eos_id, shift_max=m, shift_logsum=ls, wmax=wmax, spmd=spmd,
         )
         cand = beam_scores.reshape(b * k, 1) + row_vals       # [B*K, 2K]
         cand = cand.reshape(b, k * 2 * k)
@@ -449,7 +456,8 @@ def beam_search(
     # (discarded) forward of the select-then-forward form is never executed.
     new_token, flat_parent, beam_scores, generated, fin_scores, fin_seqs = \
         beam_select(last_logits, beam_scores, generated, fin_scores, fin_seqs,
-                    jnp.int32(0), dp, k, stats=(last_wmax, last_m, last_l))
+                    jnp.int32(0), dp, k, stats=(last_wmax, last_m, last_l),
+                    spmd=gpt2_cfg.spmd_decode)
     anc = anc[flat_parent].at[:, 0].set(jnp.arange(r, dtype=jnp.int32))
 
     def step(carry, t):
@@ -464,7 +472,8 @@ def beam_search(
         )
         new_token, flat_parent, beam_scores, generated, fin_scores, fin_seqs = \
             beam_select(logits, beam_scores, generated, fin_scores, fin_seqs,
-                        t, dp, k, stats=(wmax, m, l))
+                        t, dp, k, stats=(wmax, m, l),
+                        spmd=gpt2_cfg.spmd_decode)
         anc = anc[flat_parent].at[:, t].set(jnp.arange(r, dtype=jnp.int32))
         carry = (
             new_token, gen_cache, anc, beam_scores, generated,

@@ -51,14 +51,20 @@ def _ngram_banned(generated: jax.Array, t: jax.Array, ngram_size: int):
     generated[i : i+n-1]; matching starts ban generated[i+n-1]."""
     b, n_buf = generated.shape
     ctx = ngram_size - 1
-    # context tokens generated[t-ctx : t] via gather (indices clipped; masked below)
-    ctx_idx = t - ctx + jnp.arange(ctx)                     # [ctx]
-    ctx_tok = generated[:, jnp.clip(ctx_idx, 0, n_buf - 1)]  # [B, ctx]
+    # context tokens generated[t-ctx : t]: dynamic_slice (start clamps into
+    # range exactly like the old clipped-gather; t < ctx rows are masked by
+    # ``valid`` below either way)
+    ctx_tok = jax.lax.dynamic_slice_in_dim(generated, t - ctx, ctx, axis=1)
 
     starts = n_buf - ctx  # candidate start positions 0..starts-1
-    # windows[:, i, j] = generated[:, i+j] for j in 0..ctx-1
-    win_idx = jnp.arange(starts)[:, None] + jnp.arange(ctx)[None, :]  # [starts, ctx]
-    windows = generated[:, win_idx]                          # [B, starts, ctx]
+    # windows[:, i, j] = generated[:, i+j] — STATIC slices stacked over the
+    # (static) ctx axis. The previous fancy-index form generated[:, win_idx]
+    # lowered to a gather custom fusion measured at 2.1 ms/iter PER context
+    # column in the beam program (s32[384x31] gathers, hlo_stats v5e
+    # 2026-08-19) for what is a view-shift of the buffer.
+    windows = jnp.stack(
+        [generated[:, j:j + starts] for j in range(ctx)], axis=-1
+    )                                                        # [B, starts, ctx]
     match = jnp.all(windows == ctx_tok[:, None, :], axis=-1)  # [B, starts]
     # start i is a *completed* ngram only if its last token i+ctx-1 <= t-1
     # and the banned continuation i+ctx <= t-1 was itself generated
@@ -89,7 +95,7 @@ def apply_no_repeat_ngram(
 
 
 def exact_topk(scores: jax.Array, k: int, window: int = 0,
-               wmax: jax.Array = None):
+               wmax: jax.Array = None, spmd: bool = False):
     """Exact top-k over the vocab axis via a two-stage windowed reduction:
     per-window max -> top-k windows -> top-k within the gathered window
     contents. Returns (vals [B,k], idxs [B,k]) descending.
@@ -121,11 +127,10 @@ def exact_topk(scores: jax.Array, k: int, window: int = 0,
         nwin = wmax.shape[1]
         window = v // nwin
         assert nwin * window == v, (v, nwin)
-        sw = scores.reshape(b, nwin, window)
         kw = min(k, nwin)
         _, widx = jax.lax.top_k(wmax, kw)
-        cand = jnp.take_along_axis(sw, widx[:, :, None], axis=1)
-        vals, ci = _topk_flat(cand.reshape(b, kw * window), k)
+        cand = _gather_windows(scores, widx, nwin, window, spmd)
+        vals, ci = _topk_flat(cand.reshape(b, kw * window), k, spmd=spmd)
         idxs = jnp.take_along_axis(widx, ci // window, axis=1) * window + ci % window
         return vals, idxs
     if window <= 0:
@@ -153,17 +158,44 @@ def exact_topk(scores: jax.Array, k: int, window: int = 0,
     wmax = jnp.max(sw, axis=-1)                              # [B, nwin]
     kw = min(k, nwin)
     _, widx = jax.lax.top_k(wmax, kw)                        # [B, kw]
-    cand = jnp.take_along_axis(sw, widx[:, :, None], axis=1)  # [B, kw, w]
+    cand = _gather_windows(scores_p, widx, nwin, window, spmd)  # [B, kw, w]
     # the flat candidate set [B, kw*window] can still be thousands wide —
     # XLA's TopK custom call measured 743us/step at [384,3968]->31 (v5e
     # hlo_stats) while each extra windowed stage is a handful of ~40us ops,
     # so recurse with a narrow sub-window until the final sort is small
-    vals, ci = _topk_flat(cand.reshape(b, kw * window), k)
+    vals, ci = _topk_flat(cand.reshape(b, kw * window), k, spmd=spmd)
     idxs = jnp.take_along_axis(widx, ci // window, axis=1) * window + ci % window
     return vals, idxs
 
 
-def _topk_flat(flat: jax.Array, k: int, sub: int = 8, small: int = 512):
+def _gather_windows(scores_p: jax.Array, widx: jax.Array,
+                    nwin: int, window: int, spmd: bool = False) -> jax.Array:
+    """Gather whole windows of the padded [B, nwin*window] score buffer as
+    ROWS of its flat [B*nwin, window] view (embedding-lookup shape: slice
+    size [1, window] along the major axis of a row-major operand).
+
+    ``take_along_axis(sw, widx[:, :, None], axis=1)`` is the same gather,
+    but XLA satisfied its preferred layout by materializing TWO full copies
+    of the logits per decode step (f32[384,50688] {1,0}->{0,1} relayout +
+    a {0,2,1}->{2,0,1} window-view copy — 5.2 ms/iter of the beam program,
+    hlo_stats v5e 2026-08-19); the flat-row form consumes the row-major
+    buffer in place. Pure data movement — bit-identical values."""
+    b = scores_p.shape[0]
+    if spmd:
+        # batch-preserving form: the flat-row gather below flattens batch x
+        # window across the mesh sharding, and GSPMD answers with an
+        # all-gather of the gathered candidate windows EVERY decode step
+        # (caught by the graft-entry decode-collective gate). The layout
+        # copies the flat form avoids are a single-chip XLA:TPU artifact.
+        sw = scores_p.reshape(b, nwin, window)
+        return jnp.take_along_axis(sw, widx[:, :, None], axis=1)
+    flat = scores_p.reshape(b * nwin, window)
+    rows = jnp.arange(b, dtype=widx.dtype)[:, None] * nwin + widx   # [B, kw]
+    return flat[rows.reshape(-1)].reshape(b, widx.shape[1], window)
+
+
+def _topk_flat(flat: jax.Array, k: int, sub: int = 8, small: int = 512,
+               spmd: bool = False):
     """top-k of [B, M] via recursive windowed reduction (same exactness
     argument as exact_topk: the true top-k lie in the top-k sub-windows by
     max). Terminates at lax.top_k once M <= max(small, k*sub)."""
@@ -177,7 +209,7 @@ def _topk_flat(flat: jax.Array, k: int, sub: int = 8, small: int = 512):
     fw = flat.reshape(b, nsub, sub)
     smax = jnp.max(fw, axis=-1)                              # [B, nsub]
     _, sidx = jax.lax.top_k(smax, k)                         # [B, k]
-    cand = jnp.take_along_axis(fw, sidx[:, :, None], axis=1)  # [B, k, sub]
+    cand = _gather_windows(flat, sidx, nsub, sub, spmd)      # [B, k, sub]
     vals, ci = jax.lax.top_k(cand.reshape(b, k * sub), k)
     idxs = jnp.take_along_axis(sidx, ci // sub, axis=1) * sub + ci % sub
     return vals, idxs
@@ -195,6 +227,7 @@ def topk_processed(
     shift_max: jax.Array = None,      # [B] optional log-softmax conversion:
     shift_logsum: jax.Array = None,   # vals := (vals - max) - logsum
     wmax: jax.Array = None,           # [B, V/window] precomputed window maxima
+    spmd: bool = False,               # mesh-safe candidate gather (exact_topk)
 ):
     """Top-k of the processor-chain-modified scores WITHOUT materializing or
     scattering into [B, V]: returns (vals [B, k], idxs [B, k]) sorted by
@@ -236,7 +269,7 @@ def topk_processed(
     # (1.9 ms/step at [192, 50257]) and approx_max_k(recall=1.0)'s
     # PartialReduce custom call runs ~20x off roofline (2.2 ms/step at
     # [384, 50257]).
-    vals, idxs = exact_topk(scores, c, wmax=wmax)            # [B,C] desc
+    vals, idxs = exact_topk(scores, c, wmax=wmax, spmd=spmd)  # [B,C] desc
     if shift_max is not None:
         # beam path: rank on RAW logits (log-softmax is monotone per row, so
         # candidate CONTAINMENT and order are unchanged), then convert only

@@ -172,7 +172,8 @@ def generate_unified(
                               blk_m[:, :k].reshape(i * k),
                               blk_l[:, :k].reshape(i * k))
                 tok2d, flat_parent, nbs, ngen, nfs, nfseq = beam_select(
-                    ll_live, bs, gen, fs, fseq, t, dp, k, stats=stats_live)
+                    ll_live, bs, gen, fs, fseq, t, dp, k, stats=stats_live,
+                    spmd=gpt2_cfg.spmd_decode)
                 live_anc = blk_anc[:, :k].reshape(i * k, n_max)
                 new_live = live_anc[flat_parent].at[:, t].set(own_idx)
                 anc_new = (jnp.concatenate(
@@ -191,7 +192,8 @@ def generate_unified(
             else:
                 gen, fin, rng_g = states[g]
                 tok, ngen, nfin, nrng = sample_select(
-                    blk_ll[:, 0], gen, fin, t, dp, rng_g, wmax=blk_wmax[:, 0])
+                    blk_ll[:, 0], gen, fin, t, dp, rng_g, wmax=blk_wmax[:, 0],
+                    spmd=gpt2_cfg.spmd_decode)
                 anc_new = blk_anc     # identity ancestry never changes
                 tok_blk = jnp.full((i, k_max), dp.eos_id, jnp.int32)
                 tok_blk = tok_blk.at[:, 0].set(tok)

@@ -63,6 +63,7 @@ def model_config_from_inference(config: InferenceConfig) -> cm.CaptionModelConfi
             use_pallas_lm_head=config.compile.use_pallas_lm_head,
             deferred_cache_write=config.compile.deferred_decode_cache_write,
             use_pallas_beam_attention=config.compile.use_pallas_beam_attention,
+            beam_attn_time_blocked=config.compile.beam_attn_time_blocked,
             sample_split_cache=config.compile.sample_split_cache,
             use_pallas_decode_layer=(
                 config.compile.use_pallas_decode_layer
@@ -147,6 +148,14 @@ class InferenceEngine:
             # vocab] logits for top-k (77 MB/step at production geometry)
             self.params = shard_params(self.params, self.mesh,
                                        replicate_embeddings=True)
+            import dataclasses as _dc
+
+            # mesh-safe candidate gather in the decode selection (the
+            # single-chip flat-row gather makes GSPMD all-gather candidate
+            # windows every step; GPT2Config.spmd_decode docstring)
+            self.model_cfg = _dc.replace(
+                self.model_cfg,
+                gpt2=_dc.replace(self.model_cfg.gpt2, spmd_decode=True))
         self.tokenizer = get_tokenizer()
         import os
         from collections import OrderedDict
