@@ -88,11 +88,28 @@ def check_alignment(image_size: int = 224, num_frames: int = 4, seed: int = 0) -
     except Exception as exc:  # pragma: no cover
         results["pallas ops vs XLA"] = {"ok": False, "error": str(exc)}
 
-    # 4. decode kernels (lm_head stats + beam attention) vs XLA: exact token
-    # parity on a short beam decode. On TPU this runs the real kernels at
-    # production GPT-2 geometry; off-TPU it runs Pallas interpret mode at a
-    # TINY geometry (full-vocab interpret decode takes tens of minutes on
-    # CPU). Row count stays a multiple of 8 so the lm_head kernel engages.
+    # 4. decode kernels (lm_head stats + beam attention) vs XLA, two checks:
+    #
+    # (a) VALUE check on one full beam-step's logits (12 layers + LM head,
+    #     kernels on vs off): rel tolerance 3e-2. The failure class this
+    #     leg exists for — mask/ancestry corruption like the >256-row
+    #     one-hot rounding bug of 2026-08-18 — produces rel errors ~0.3+
+    #     (max_abs 1.1 on O(3) logits); reduction-order noise between the
+    #     Mosaic and XLA schedules compounds to ~1.4e-2 rel through 12
+    #     bf16 layers (measured v5e 2026-08-19). Wide separation.
+    # (b) TOKEN agreement rate >= 0.9 of videos over a short beam decode.
+    #     EXACT equality was the round-3 spec and is unachievable between
+    #     two reduction orders at bf16 on random ~0.02-scale embeddings:
+    #     logits are flat, per-step argmax agreement measured 97.2%, and
+    #     beam search amplifies one near-tie into a fully different row
+    #     (6/72 videos flipped, v5e 2026-08-19). Mask corruption flips
+    #     nearly all videos; association noise flips a few percent.
+    #
+    # On TPU this runs the real kernels at production GPT-2 geometry;
+    # off-TPU it runs Pallas interpret mode at a TINY geometry (full-vocab
+    # interpret decode takes tens of minutes on CPU) where both paths are
+    # f32 and tokens match exactly in practice. Row count stays a multiple
+    # of 8 so the lm_head kernel engages.
     try:
         from video_caption_tpu.decode.generate import DecodeParams, generate
 
@@ -119,8 +136,43 @@ def check_alignment(image_size: int = 224, num_frames: int = 4, seed: int = 0) -
         # invisible to this gate at its original 2x4=8 rows (caught
         # 2026-08-18 by a standalone kernel-vs-XLA sweep instead).
         emb_batch = 72 if on_tpu else 2          # 72 x 4 beams = 288 rows
+        b_gate, k_gate = emb_batch, dp.num_beams
         emb = jax.random.normal(jax.random.PRNGKey(5),
                                 (emb_batch, 5, gpt_off.n_embd)) * 0.02
+
+        # (a) one-step logits value check (beam step with a half-filled cache)
+        def _ctx(mode):
+            r_g = b_gate * k_gate
+            h_g = gpt_off.n_embd
+            cast = (lambda x: x.astype(gpt_off.dtype))
+            pkv = {
+                "k": cast(jax.random.normal(jax.random.PRNGKey(11),
+                                            (gpt_off.n_layer, b_gate, 9, h_g)) * 0.1),
+                "v": cast(jax.random.normal(jax.random.PRNGKey(12),
+                                            (gpt_off.n_layer, b_gate, 9, h_g)) * 0.1),
+            }
+            gen = cast(jax.random.normal(jax.random.PRNGKey(13),
+                                         (gpt_off.n_layer, 6, 2, r_g, h_g)) * 0.1)
+            anc_np = np.random.RandomState(0).randint(0, k_gate, (r_g, 6))
+            anc = jnp.asarray((np.arange(r_g)[:, None] // k_gate * k_gate
+                               + anc_np).astype(np.int32))
+            step_emb = cast(jax.random.normal(jax.random.PRNGKey(14), (r_g, h_g)) * 0.02)
+            out, _ = g2.gpt2_beam_step(
+                dec_params, step_emb, jnp.full((r_g,), 9, jnp.int32), pkv,
+                jnp.ones((b_gate, 9), jnp.int32), {"kv": gen}, anc,
+                jnp.int32(3), k_gate, mode)
+            return np.asarray(out, np.float32)
+
+        if on_tpu:
+            lo_off, lo_on = _ctx(gpt_off), _ctx(gpt_on)
+        else:
+            lo_off = _ctx(gpt_off)
+            with pltpu.force_tpu_interpret_mode():
+                lo_on = _ctx(gpt_on)
+        step_rel = float(np.abs(lo_on - lo_off).max() /
+                         (np.abs(lo_off).max() + 1e-9))
+
+        # (b) token agreement over the short beam decode
         ids_off = np.asarray(generate(dec_params, gpt_off, emb, dp))
         if on_tpu:
             ids_on = np.asarray(generate(dec_params, gpt_on, emb, dp))
@@ -129,15 +181,19 @@ def check_alignment(image_size: int = 224, num_frames: int = 4, seed: int = 0) -
                 ids_on = np.asarray(generate(dec_params, gpt_on, emb, dp))
         from video_caption_tpu.ops.pallas import beam_attention, lm_head
 
-        ok = bool((ids_on == ids_off).all())
+        agree = float((ids_on == ids_off).all(axis=1).mean())
+        ok = step_rel <= 3e-2 and agree >= 0.9
         results["decode kernels vs XLA"] = {
-            "ok": ok, "tokens_equal": ok,
+            "ok": ok,
+            "step_logits_rel_err": step_rel, "step_rel_tol": 3e-2,
+            "token_agreement_rate": agree, "agreement_floor": 0.9,
+            "tokens_equal": bool((ids_on == ids_off).all()),
             "beam_attention_backend": beam_attention.last_backend,
             "lm_head_backend": lm_head.last_backend,
         }
-        log.info("%-28s tokens_equal=%s (beam_attn=%s lm_head=%s)",
-                 "decode kernels vs XLA", ok, beam_attention.last_backend,
-                 lm_head.last_backend)
+        log.info("%-28s step_rel=%.2e agree=%.3f (beam_attn=%s lm_head=%s)",
+                 "decode kernels vs XLA", step_rel, agree,
+                 beam_attention.last_backend, lm_head.last_backend)
     except Exception as exc:  # pragma: no cover
         results["decode kernels vs XLA"] = {"ok": False, "error": str(exc)}
 
