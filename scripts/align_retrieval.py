@@ -80,22 +80,33 @@ def main(argv=None) -> int:
 
     n_classes = len(seen)
     q = rt["num_queries"]
-    hits = round(rt["recall@1"] * q)
-    pval = binom_sf(hits, q, 1.0 / n_classes)
+
+    def pvals(m):
+        """Binomial p under the uniform-chance null, for R@1 AND R@5 —
+        R@5's null rate is 5/classes, and at 192 queries it carries far
+        more power (2026-08-19 HW run: trained R@1 5/192 p=5.2e-2 vs
+        R@5 22/192 p=4.7e-4; the random control sits at chance, p=0.94)."""
+        return (binom_sf(round(m["recall@1"] * q), q, 1.0 / n_classes),
+                binom_sf(round(m["recall@5"] * q), q, min(5.0 / n_classes, 1.0)))
+
+    p1_t, p5_t = pvals(rt)
+    p1_r, p5_r = pvals(rr)
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     with out.open("w") as fh:
-        fh.write("model,recall@1,recall@5,mrr,num_queries,p_value_vs_chance\n")
-        for name, m, pv in (("trained", rt, pval),
-                            ("random", rr, binom_sf(
-                                round(rr["recall@1"] * q), q, 1.0 / n_classes))):
+        fh.write("model,recall@1,recall@5,mrr,num_queries,"
+                 "r1_p_vs_chance,r5_p_vs_chance\n")
+        for name, m, pv1, pv5 in (("trained", rt, p1_t, p5_t),
+                                  ("random", rr, p1_r, p5_r)):
             fh.write(f"{name},{m['recall@1']:.4f},{m['recall@5']:.4f},"
-                     f"{m['mrr']:.4f},{m['num_queries']},{pv:.2e}\n")
+                     f"{m['mrr']:.4f},{m['num_queries']},{pv1:.2e},{pv5:.2e}\n")
     import jax
 
     print(json.dumps({
         "trained": rt, "random": rr, "classes": n_classes,
-        "trained_r1_pvalue_vs_chance": pval,
+        "trained_r1_pvalue_vs_chance": p1_t,
+        "trained_r5_pvalue_vs_chance": p5_t,
+        "random_r5_pvalue_vs_chance": p5_r,
         "device": str(getattr(jax.devices()[0], "device_kind", "cpu")),
         "steps": args.steps, "image_size": args.image_size,
         "num_frames": args.num_frames, "temporal_mode": args.temporal_mode}))

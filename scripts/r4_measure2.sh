@@ -25,4 +25,8 @@ run beam_v2 1200 env VIDEO_CAPTION_BEAM_ATTN_V2=1 \
 run alignment_v2 1800 env VIDEO_CAPTION_BEAM_ATTN_V2=1 \
     python -m video_caption_tpu.bench.accuracy_alignment --image_size 224 --num_frames 4
 
+# 3. retrieval leg, longer train (loss was still falling at step 300: 3.46
+# from ln(96)=4.56; R@1 p was 0.052, just over the bar)
+run align_retrieval_600 3600 python scripts/align_retrieval.py --steps 600
+
 echo "R4 MEASURE2 DONE $(date +%H:%M:%S)" | tee -a "$OUT/session.log"
