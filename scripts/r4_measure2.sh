@@ -21,7 +21,9 @@ run beam_v1 1200 python scripts/profile_beam.py 64 /tmp/hlo_beam_v1.csv beam
 run beam_v2 1200 env VIDEO_CAPTION_BEAM_ATTN_V2=1 \
     python scripts/profile_beam.py 64 /tmp/hlo_beam_v2.csv beam
 
-# 2. numerics gate with v2 on (value tol + agreement floor)
+# 2. numerics gate (value tol + recalibrated agreement floor): default
+# kernels (writes reports/), then the v2 beam kernel
+run alignment 1800 bash -c 'python -m video_caption_tpu.bench.accuracy_alignment --image_size 224 --num_frames 4 > reports/accuracy_alignment.json; tail -c 700 reports/accuracy_alignment.json'
 run alignment_v2 1800 env VIDEO_CAPTION_BEAM_ATTN_V2=1 \
     python -m video_caption_tpu.bench.accuracy_alignment --image_size 224 --num_frames 4
 
