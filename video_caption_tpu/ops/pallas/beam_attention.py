@@ -472,8 +472,18 @@ def beam_gen_attention(
     b = prefill_valid.shape[0]
     k = num_beams
     vb = None
-    for cand in (8, 4, 2, 1):
-        if b % cand == 0 and (cand * k) % 8 == 0:
+    # Video-block preference: larger vb = fewer, bigger kernel calls
+    # (fuller sublane tiles, less per-call fixed overhead) at more VMEM
+    # per step (the gen block is [N, 2, vb*k, H] bf16, double-buffered).
+    # Env-tunable for on-chip A/B: VIDEO_CAPTION_BEAM_ATTN_VB.
+    import os
+
+    try:
+        vb_pref = int(os.environ.get("VIDEO_CAPTION_BEAM_ATTN_VB", "8"))
+    except ValueError:
+        vb_pref = 8
+    for cand in (vb_pref, 8, 4, 2, 1):
+        if cand > 0 and b % cand == 0 and (cand * k) % 8 == 0:
             vb = cand
             break
     if vb is None:
