@@ -134,6 +134,40 @@ def main() -> None:
         lat.append(time.perf_counter() - t0)
     p50 = statistics.median(lat)
 
+    # weather-proofing (VERDICT r4 #8): the e2e p50 above swings ~2x with
+    # tunnel-link conditions (73.5 vs 125.6 ms on the SAME code hours apart).
+    # Record two link-independent companions so regressions are separable
+    # from weather: the device-wall p50 of the fused request program (pixels
+    # already resident), and the session's measured host->device MB/s.
+    device_p50_ms = link_mbps = None
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        program, _, _ = engine._fused_infer_program()
+        vid1 = jnp.zeros(
+            (1, cfg.num_frames, 3, cfg.image_size, cfg.image_size), jnp.uint8)
+        key = jax.random.PRNGKey(0)
+        jax.block_until_ready(program(engine.params, vid1, key))  # compile
+        dev_lat = []
+        for _ in range(max(iters, 10)):
+            t0 = time.perf_counter()
+            jax.block_until_ready(program(engine.params, vid1, key))
+            dev_lat.append(time.perf_counter() - t0)
+        device_p50_ms = statistics.median(dev_lat) * 1e3
+        # link: time device_put of a 16 MB host buffer (well above the
+        # latency floor, small enough to not stall the run), median of 5
+        buf = np.zeros((16, 1024, 1024), np.uint8)
+        jax.block_until_ready(jax.device_put(buf))
+        xfer = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(jax.device_put(buf))
+            xfer.append(time.perf_counter() - t0)
+        link_mbps = buf.nbytes / (1 << 20) / statistics.median(xfer)
+    except Exception as exc:
+        print(f"device-wall/link probe failed ({exc})", file=sys.stderr)
+
     # chip throughput: k-deep pipelined batches, median of TRIALS
     roofline = None
     try:
@@ -203,6 +237,12 @@ def main() -> None:
         "pipeline_depth": PIPELINE_DEPTH,
         "throughput_trials": [round(t, 3) for t in trials],
     }
+    if len(trials) > 1:  # run-to-run spread is link weather; record it
+        record["throughput_stddev"] = round(statistics.stdev(trials), 3)
+    if device_p50_ms is not None:
+        record["device_p50_ms"] = round(device_p50_ms, 2)
+    if link_mbps is not None:
+        record["link_MBps"] = round(link_mbps, 1)
     if warm_caps is not None:
         record["warm_cache_caps_per_sec"] = round(warm_caps, 3)
     if roofline:
@@ -229,14 +269,14 @@ def main() -> None:
         except Exception:
             history = []
     history.append(record)
-    hist_path.write_text(json.dumps(history, indent=1))
+    hist_path.write_text(json.dumps(history, indent=1) + "\n")
 
     # the required four fields first; extra keys carry the link-independent
     # numbers (the host<->device link swings >5x day to day — the cold
     # headline inherits that weather, device_caps_per_sec does not)
     extra = {k: record[k] for k in (
         "device_caps_per_sec", "warm_cache_caps_per_sec", "p50_latency_ms",
-        "batch_size", "workload",
+        "device_p50_ms", "link_MBps", "batch_size", "workload",
     ) if k in record}
     print(json.dumps({**{k: record[k] for k in ("metric", "value", "unit", "vs_baseline")},
                       **extra}))

@@ -16,7 +16,7 @@ import argparse
 import dataclasses
 import json
 import logging
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,12 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
-def check_alignment(image_size: int = 224, num_frames: int = 4, seed: int = 0) -> Dict:
+def check_alignment(image_size: int = 224, num_frames: int = 4, seed: int = 0,
+                    only: Optional[str] = None) -> Dict:
+    """``only="decode"`` runs just the decode-kernel leg (the encoder legs'
+    eager-golden forward is op-by-op over the tunnel, ~20 min on HW; the
+    decode leg shares none of its tensors) — the CLI merges the result into
+    an existing report so the committed artifact keeps every leg."""
     from video_caption_tpu.models import caption_model as cm
     from video_caption_tpu.models import gpt2 as g2
     from video_caption_tpu.models import vit as vt
@@ -39,12 +44,16 @@ def check_alignment(image_size: int = 224, num_frames: int = 4, seed: int = 0) -
     params = cm.init_caption_model(rng, golden_cfg)
     video = jax.random.normal(jax.random.PRNGKey(1), (1, num_frames, 3, image_size, image_size))
 
+    encoder_legs = only in (None, "encoder")
     # fp32 comparisons must pin true-fp32 matmuls: both TPU and XLA:CPU run
     # "fp32" matmuls in reduced precision by default, which swamps the gates
-    with jax.default_matmul_precision("highest"):
-        with jax.disable_jit():
-            golden_emb = cm.encode_video(params, video, golden_cfg)
-            golden_prefix = cm.video_to_prefix(params, video, golden_cfg)
+    from jax.experimental.pallas import tpu as pltpu
+
+    if encoder_legs:
+        with jax.default_matmul_precision("highest"):
+            with jax.disable_jit():
+                golden_emb = cm.encode_video(params, video, golden_cfg)
+                golden_prefix = cm.video_to_prefix(params, video, golden_cfg)
 
     def record(name: str, got, ref, tol: float):
         err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32))))
@@ -54,160 +63,262 @@ def check_alignment(image_size: int = 224, num_frames: int = 4, seed: int = 0) -
         log.info("%-28s rel_err=%.2e (tol %.0e) %s", name, rel, tol,
                  "OK" if rel <= tol else "FAIL")
 
-    # 1. jit fp32 vs eager fp32 — must be tight
-    with jax.default_matmul_precision("highest"):
-        emb_jit = jax.jit(lambda p, v: cm.encode_video(p, v, golden_cfg))(params, video)
-    record("encoder jit-fp32 vs eager", emb_jit, golden_emb, 1e-3)
-
-    # 2. bf16 compiled policy vs fp32 golden — deployment numerics
-    bf16_cfg = dataclasses.replace(
-        golden_cfg, vit=dataclasses.replace(base_vit, dtype=jnp.bfloat16),
-        gpt2=dataclasses.replace(base_gpt, dtype=jnp.bfloat16),
-    )
-    emb_bf16 = jax.jit(lambda p, v: cm.encode_video(p, v, bf16_cfg))(params, video)
-    record("encoder bf16 vs fp32", emb_bf16, golden_emb, 5e-2)
-
-    # 3. pallas kernels vs XLA path
-    pallas_cfg = dataclasses.replace(
-        golden_cfg,
-        vit=dataclasses.replace(base_vit, use_pallas_pool=True, use_pallas_attention=True),
-        use_pallas_projector=True,
-    )
-    from jax.experimental.pallas import tpu as pltpu
-
-    try:
+    if encoder_legs:
+        # 1. jit fp32 vs eager fp32 — must be tight
         with jax.default_matmul_precision("highest"):
-            if jax.default_backend() in ("tpu", "axon"):
-                prefix_pallas = jax.jit(
-                    lambda p, v: cm.video_to_prefix(p, v, pallas_cfg)
-                )(params, video)
+            emb_jit = jax.jit(lambda p, v: cm.encode_video(p, v, golden_cfg))(params, video)
+        record("encoder jit-fp32 vs eager", emb_jit, golden_emb, 1e-3)
+
+        # 2. bf16 compiled policy vs fp32 golden — deployment numerics
+        bf16_cfg = dataclasses.replace(
+            golden_cfg, vit=dataclasses.replace(base_vit, dtype=jnp.bfloat16),
+            gpt2=dataclasses.replace(base_gpt, dtype=jnp.bfloat16),
+        )
+        emb_bf16 = jax.jit(lambda p, v: cm.encode_video(p, v, bf16_cfg))(params, video)
+        record("encoder bf16 vs fp32", emb_bf16, golden_emb, 5e-2)
+
+        # 3. pallas kernels vs XLA path
+        pallas_cfg = dataclasses.replace(
+            golden_cfg,
+            vit=dataclasses.replace(base_vit, use_pallas_pool=True, use_pallas_attention=True),
+            use_pallas_projector=True,
+        )
+        try:
+            with jax.default_matmul_precision("highest"):
+                if jax.default_backend() in ("tpu", "axon"):
+                    prefix_pallas = jax.jit(
+                        lambda p, v: cm.video_to_prefix(p, v, pallas_cfg)
+                    )(params, video)
+                else:
+                    with pltpu.force_tpu_interpret_mode():
+                        prefix_pallas = cm.video_to_prefix(params, video, pallas_cfg)
+            record("pallas ops vs XLA", prefix_pallas, golden_prefix, 1e-3)
+        except Exception as exc:  # pragma: no cover
+            results["pallas ops vs XLA"] = {"ok": False, "error": str(exc)}
+
+    if only in (None, "decode"):
+        # 4. decode kernels (lm_head stats + beam attention) vs XLA, two checks:
+        #
+        # (a) VALUE check on one full beam-step's logits (12 layers + LM head,
+        #     kernels on vs off): rel tolerance 3e-2. The failure class this
+        #     leg exists for — mask/ancestry corruption like the >256-row
+        #     one-hot rounding bug of 2026-08-18 — produces rel errors ~0.3+
+        #     (max_abs 1.1 on O(3) logits); reduction-order noise between the
+        #     Mosaic and XLA schedules compounds to ~1.4e-2 rel through 12
+        #     bf16 layers (measured v5e 2026-08-19). Wide separation.
+        # (b) TOKEN agreement rate >= 0.6 of videos over a short beam decode.
+        #     EXACT equality was the round-3 spec and is unachievable between
+        #     two reduction orders at bf16 on random ~0.02-scale embeddings:
+        #     logits are flat, per-step argmax agreement measured 97.2%, and
+        #     beam search amplifies one near-tie into a fully different row.
+        #     The agreement rate itself is NOISY ACROSS CODE VERSIONS — any
+        #     change to the shared selection code re-fuses both programs and
+        #     re-resolves near-ties differently (measured 66/72 = 0.92 on
+        #     2026-08-19, 57/72 = 0.79 after the bit-identical flat-row gather
+        #     landed) — so the floor is a failure-class separator, not a
+        #     noise bound: mask/ancestry corruption flips essentially every
+        #     video (agreement ~0, and the VALUE check above fails at ~10x
+        #     tolerance simultaneously); association noise has stayed >= 0.79.
+        #
+        # On TPU this runs the real kernels at production GPT-2 geometry;
+        # off-TPU it runs Pallas interpret mode at a TINY geometry (full-vocab
+        # interpret decode takes tens of minutes on CPU) where both paths are
+        # f32 and tokens match exactly in practice. Row count stays a multiple
+        # of 8 so the lm_head kernel engages.
+        try:
+            from video_caption_tpu.decode.generate import DecodeParams, generate
+
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            if on_tpu:
+                gpt_off = dataclasses.replace(
+                    base_gpt, dtype=jnp.bfloat16,
+                    use_pallas_lm_head=False, use_pallas_beam_attention=False)
+                dec_params = params["decoder"]
             else:
+                gpt_off = g2.GPT2Config(
+                    vocab_size=256, n_embd=128, n_layer=2, n_head=2,
+                    dtype=jnp.float32,
+                    use_pallas_lm_head=False, use_pallas_beam_attention=False)
+                dec_params = g2.init_gpt2_params(jax.random.PRNGKey(9), gpt_off)
+            from video_caption_tpu.config import _env_bool
+
+            gpt_on = dataclasses.replace(
+                gpt_off, use_pallas_lm_head=True, use_pallas_beam_attention=True,
+                # honor the v2 opt-in so `VIDEO_CAPTION_BEAM_ATTN_V2=1 python -m
+                # ...accuracy_alignment` actually gates the time-blocked kernel
+                # (this leg builds GPT2Config directly, bypassing CompileConfig)
+                beam_attn_time_blocked=_env_bool("VIDEO_CAPTION_BEAM_ATTN_V2", False))
+            dp = DecodeParams(max_new_tokens=6, num_beams=4, min_new_tokens=2,
+                              eos_id=gpt_off.vocab_size - 1)
+            # On TPU the batch MUST put the beam row count past 256: integer
+            # one-hot dots inside Mosaic kernels are only exact for values
+            # <= 256 (bf16-mantissa passes), and the ancestry-expansion bug
+            # that corrupted rows > 256 at the production bs=64 (R=384) was
+            # invisible to this gate at its original 2x4=8 rows (caught
+            # 2026-08-18 by a standalone kernel-vs-XLA sweep instead).
+            emb_batch = 72 if on_tpu else 2          # 72 x 4 beams = 288 rows
+            b_gate, k_gate = emb_batch, dp.num_beams
+            emb = jax.random.normal(jax.random.PRNGKey(5),
+                                    (emb_batch, 5, gpt_off.n_embd)) * 0.02
+
+            # (a) one-step logits value check (beam step with a half-filled cache)
+            def _ctx(mode):
+                r_g = b_gate * k_gate
+                h_g = gpt_off.n_embd
+                cast = (lambda x: x.astype(gpt_off.dtype))
+                pkv = {
+                    "k": cast(jax.random.normal(jax.random.PRNGKey(11),
+                                                (gpt_off.n_layer, b_gate, 9, h_g)) * 0.1),
+                    "v": cast(jax.random.normal(jax.random.PRNGKey(12),
+                                                (gpt_off.n_layer, b_gate, 9, h_g)) * 0.1),
+                }
+                gen = cast(jax.random.normal(jax.random.PRNGKey(13),
+                                             (gpt_off.n_layer, 6, 2, r_g, h_g)) * 0.1)
+                anc_np = np.random.RandomState(0).randint(0, k_gate, (r_g, 6))
+                anc = jnp.asarray((np.arange(r_g)[:, None] // k_gate * k_gate
+                                   + anc_np).astype(np.int32))
+                step_emb = cast(jax.random.normal(jax.random.PRNGKey(14), (r_g, h_g)) * 0.02)
+                out, _ = g2.gpt2_beam_step(
+                    dec_params, step_emb, jnp.full((r_g,), 9, jnp.int32), pkv,
+                    jnp.ones((b_gate, 9), jnp.int32), {"kv": gen}, anc,
+                    jnp.int32(3), k_gate, mode)
+                return np.asarray(out, np.float32)
+
+            if on_tpu:
+                lo_off, lo_on = _ctx(gpt_off), _ctx(gpt_on)
+            else:
+                lo_off = _ctx(gpt_off)
                 with pltpu.force_tpu_interpret_mode():
-                    prefix_pallas = cm.video_to_prefix(params, video, pallas_cfg)
-        record("pallas ops vs XLA", prefix_pallas, golden_prefix, 1e-3)
-    except Exception as exc:  # pragma: no cover
-        results["pallas ops vs XLA"] = {"ok": False, "error": str(exc)}
+                    lo_on = _ctx(gpt_on)
+            step_rel = float(np.abs(lo_on - lo_off).max() /
+                             (np.abs(lo_off).max() + 1e-9))
 
-    # 4. decode kernels (lm_head stats + beam attention) vs XLA, two checks:
-    #
-    # (a) VALUE check on one full beam-step's logits (12 layers + LM head,
-    #     kernels on vs off): rel tolerance 3e-2. The failure class this
-    #     leg exists for — mask/ancestry corruption like the >256-row
-    #     one-hot rounding bug of 2026-08-18 — produces rel errors ~0.3+
-    #     (max_abs 1.1 on O(3) logits); reduction-order noise between the
-    #     Mosaic and XLA schedules compounds to ~1.4e-2 rel through 12
-    #     bf16 layers (measured v5e 2026-08-19). Wide separation.
-    # (b) TOKEN agreement rate >= 0.6 of videos over a short beam decode.
-    #     EXACT equality was the round-3 spec and is unachievable between
-    #     two reduction orders at bf16 on random ~0.02-scale embeddings:
-    #     logits are flat, per-step argmax agreement measured 97.2%, and
-    #     beam search amplifies one near-tie into a fully different row.
-    #     The agreement rate itself is NOISY ACROSS CODE VERSIONS — any
-    #     change to the shared selection code re-fuses both programs and
-    #     re-resolves near-ties differently (measured 66/72 = 0.92 on
-    #     2026-08-19, 57/72 = 0.79 after the bit-identical flat-row gather
-    #     landed) — so the floor is a failure-class separator, not a
-    #     noise bound: mask/ancestry corruption flips essentially every
-    #     video (agreement ~0, and the VALUE check above fails at ~10x
-    #     tolerance simultaneously); association noise has stayed >= 0.79.
-    #
-    # On TPU this runs the real kernels at production GPT-2 geometry;
-    # off-TPU it runs Pallas interpret mode at a TINY geometry (full-vocab
-    # interpret decode takes tens of minutes on CPU) where both paths are
-    # f32 and tokens match exactly in practice. Row count stays a multiple
-    # of 8 so the lm_head kernel engages.
-    try:
-        from video_caption_tpu.decode.generate import DecodeParams, generate
+            # (b) token agreement over the short beam decode. The round-3/4
+            # lesson (VERDICT r4 weak #2): on RANDOM ~0.02-scale embeddings the
+            # logits are flat, bf16 near-ties are everywhere, and the floor had
+            # to be loosened twice (0.9 -> 0.6) to track schedule noise — a gate
+            # calibrated to its last measurement separates nothing. Fix the
+            # DISTRIBUTION instead of the floor: optimize the prefix embeds
+            # (soft-prompt style, decoder frozen) so each row decodes a per-row
+            # target sequence with trained-model-like margins (CE ~0.01/token =>
+            # top-1 log-gap ~4.6 nats vs ~0.2 cross-schedule noise). Agreement
+            # is then intrinsically ~1.0 and the floor goes back to 0.9; real
+            # mask/ancestry corruption still flips ~every row. The flat-logits
+            # agreement is kept as an INFORMATIONAL field (same compiled
+            # programs, new inputs — no extra compile).
+            import optax
 
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-        if on_tpu:
-            gpt_off = dataclasses.replace(
-                base_gpt, dtype=jnp.bfloat16,
-                use_pallas_lm_head=False, use_pallas_beam_attention=False)
-            dec_params = params["decoder"]
-        else:
-            gpt_off = g2.GPT2Config(
-                vocab_size=256, n_embd=128, n_layer=2, n_head=2,
-                dtype=jnp.float32,
-                use_pallas_lm_head=False, use_pallas_beam_attention=False)
-            dec_params = g2.init_gpt2_params(jax.random.PRNGKey(9), gpt_off)
-        from video_caption_tpu.config import _env_bool
+            # targets are SELF-CONSISTENT, not arbitrary: LayerNorm caps the
+            # achievable logit for a forced random target (hidden norms are
+            # normalized, so CE toward arbitrary tokens plateaus — measured
+            # 4.68 at tiny geometry), but growing the margin along the model's
+            # OWN greedy path only needs the existing argmax pushed further
+            # ahead. Iterate: derive the greedy path, widen its raw-logit
+            # margins by optimizing the prefix embeds, re-derive, until fixed.
+            wte = jnp.asarray(dec_params["wte"])
+            p_len = emb.shape[1]
+            t_new = dp.max_new_tokens
+            seq_len = p_len + t_new
+            positions = jnp.broadcast_to(jnp.arange(seq_len), (emb_batch, seq_len))
+            ones_mask = jnp.ones((emb_batch, seq_len), jnp.int32)
+            margin_target = 4.0
+            dp_greedy = dataclasses.replace(dp, num_beams=1)
 
-        gpt_on = dataclasses.replace(
-            gpt_off, use_pallas_lm_head=True, use_pallas_beam_attention=True,
-            # honor the v2 opt-in so `VIDEO_CAPTION_BEAM_ATTN_V2=1 python -m
-            # ...accuracy_alignment` actually gates the time-blocked kernel
-            # (this leg builds GPT2Config directly, bypassing CompileConfig)
-            beam_attn_time_blocked=_env_bool("VIDEO_CAPTION_BEAM_ATTN_V2", False))
-        dp = DecodeParams(max_new_tokens=6, num_beams=4, min_new_tokens=2,
-                          eos_id=gpt_off.vocab_size - 1)
-        # On TPU the batch MUST put the beam row count past 256: integer
-        # one-hot dots inside Mosaic kernels are only exact for values
-        # <= 256 (bf16-mantissa passes), and the ancestry-expansion bug
-        # that corrupted rows > 256 at the production bs=64 (R=384) was
-        # invisible to this gate at its original 2x4=8 rows (caught
-        # 2026-08-18 by a standalone kernel-vs-XLA sweep instead).
-        emb_batch = 72 if on_tpu else 2          # 72 x 4 beams = 288 rows
-        b_gate, k_gate = emb_batch, dp.num_beams
-        emb = jax.random.normal(jax.random.PRNGKey(5),
-                                (emb_batch, 5, gpt_off.n_embd)) * 0.02
+            def path_gaps(e, tgt, lab_mask):
+                """Raw-logit top-gap at each forced position: logit[target] minus
+                the best other token. [B, T] fp32."""
+                tok_emb = wte[tgt].astype(gpt_off.dtype)
+                seq = jnp.concatenate([e.astype(gpt_off.dtype), tok_emb], axis=1)
+                logits = g2.gpt2_logits_nocache(
+                    dec_params, seq, positions, ones_mask, gpt_off
+                )[:, p_len - 1:p_len - 1 + t_new, :].astype(jnp.float32)
+                tgt_logit = jnp.take_along_axis(logits, tgt[..., None], -1)[..., 0]
+                others = jnp.max(
+                    jnp.where(jax.nn.one_hot(tgt, gpt_off.vocab_size, dtype=bool),
+                              -jnp.inf, logits), axis=-1)
+                return tgt_logit - others
 
-        # (a) one-step logits value check (beam step with a half-filled cache)
-        def _ctx(mode):
-            r_g = b_gate * k_gate
-            h_g = gpt_off.n_embd
-            cast = (lambda x: x.astype(gpt_off.dtype))
-            pkv = {
-                "k": cast(jax.random.normal(jax.random.PRNGKey(11),
-                                            (gpt_off.n_layer, b_gate, 9, h_g)) * 0.1),
-                "v": cast(jax.random.normal(jax.random.PRNGKey(12),
-                                            (gpt_off.n_layer, b_gate, 9, h_g)) * 0.1),
+            def margin_loss(e, tgt, lab_mask):
+                gaps = path_gaps(e, tgt, lab_mask)
+                return (jax.nn.relu(margin_target - gaps)
+                        * lab_mask).sum() / lab_mask.sum()
+
+            opt = optax.adam(2e-1)
+
+            @jax.jit
+            def widen(e0, tgt, lab_mask, steps=150):
+                def step(carry, _):
+                    e, st = carry
+                    loss, grad = jax.value_and_grad(margin_loss)(e, tgt, lab_mask)
+                    upd, st = opt.update(grad, st, e)
+                    return (optax.apply_updates(e, upd), st), loss
+                (e_opt, _), losses = jax.lax.scan(
+                    step, (e0, opt.init(e0)), None, length=steps)
+                return e_opt, losses[-1]
+
+            def derive_targets(e):
+                ids = np.asarray(generate(dec_params, gpt_off, e, dp_greedy))
+                after_eos = np.cumsum(ids == dp.eos_id, axis=1, dtype=np.int32)
+                lab = (after_eos - (ids == dp.eos_id)) == 0  # keep 1st eos itself
+                return jnp.asarray(ids), jnp.asarray(lab.astype(np.float32))
+
+            emb_peak = emb.astype(jnp.float32)
+            tgt, lab_mask = derive_targets(emb_peak)
+            for _round in range(5):
+                emb_peak, _ = widen(emb_peak, tgt, lab_mask)
+                new_tgt, new_lab = derive_targets(emb_peak)
+                if bool(jnp.all(new_tgt == tgt)):
+                    break  # greedy path is a fixed point of the widened margins
+                tgt, lab_mask = new_tgt, new_lab
+            # gaps are measured against the CURRENT greedy path (tgt was
+            # re-derived after the last widen), so a non-converged loop shows
+            # up as a small/negative min gap, failing the TPU gate loudly
+            gaps = np.asarray(path_gaps(emb_peak, tgt, lab_mask))
+            lab_np = np.asarray(lab_mask) > 0
+            peak_min_gap = float(gaps[lab_np].min())
+            peak_mean_gap = float(gaps[lab_np].mean())
+
+            def agreement(e):
+                ids_off = np.asarray(generate(dec_params, gpt_off, e, dp))
+                if on_tpu:
+                    ids_on = np.asarray(generate(dec_params, gpt_on, e, dp))
+                else:
+                    with pltpu.force_tpu_interpret_mode():
+                        ids_on = np.asarray(generate(dec_params, gpt_on, e, dp))
+                return ids_off, ids_on
+
+            ids_off, ids_on = agreement(emb_peak)
+            ids_off_flat, ids_on_flat = agreement(emb)
+            from video_caption_tpu.ops.pallas import beam_attention, lm_head
+
+            agree = float((ids_on == ids_off).all(axis=1).mean())
+            agree_flat = float((ids_on_flat == ids_off_flat).all(axis=1).mean())
+            # the peaked rows must actually BE peaked (min widened gap well
+            # above the ~0.2-nat cross-schedule noise), or the optimization
+            # silently failing would make the tight floor vacuous. Gap gate is
+            # TPU-only: off-TPU both paths are f32-exact (agreement is 1.0
+            # regardless) and the tiny 2-layer geometry can't reach wide gaps.
+            peaked_ok = (peak_min_gap >= 1.0) if on_tpu else True
+            ok = step_rel <= 3e-2 and agree >= 0.9 and peaked_ok
+            results["decode kernels vs XLA"] = {
+                "ok": ok,
+                "step_logits_rel_err": step_rel, "step_rel_tol": 3e-2,
+                "token_agreement_rate": agree, "agreement_floor": 0.9,
+                "peak_min_gap_nats": peak_min_gap,
+                "peak_mean_gap_nats": peak_mean_gap,
+                "peak_min_gap_floor": 1.0 if on_tpu else 0.0,
+                "token_agreement_rate_flat_informational": agree_flat,
+                "tokens_equal": bool((ids_on == ids_off).all()),
+                "beam_attention_backend": beam_attention.last_backend,
+                "lm_head_backend": lm_head.last_backend,
             }
-            gen = cast(jax.random.normal(jax.random.PRNGKey(13),
-                                         (gpt_off.n_layer, 6, 2, r_g, h_g)) * 0.1)
-            anc_np = np.random.RandomState(0).randint(0, k_gate, (r_g, 6))
-            anc = jnp.asarray((np.arange(r_g)[:, None] // k_gate * k_gate
-                               + anc_np).astype(np.int32))
-            step_emb = cast(jax.random.normal(jax.random.PRNGKey(14), (r_g, h_g)) * 0.02)
-            out, _ = g2.gpt2_beam_step(
-                dec_params, step_emb, jnp.full((r_g,), 9, jnp.int32), pkv,
-                jnp.ones((b_gate, 9), jnp.int32), {"kv": gen}, anc,
-                jnp.int32(3), k_gate, mode)
-            return np.asarray(out, np.float32)
-
-        if on_tpu:
-            lo_off, lo_on = _ctx(gpt_off), _ctx(gpt_on)
-        else:
-            lo_off = _ctx(gpt_off)
-            with pltpu.force_tpu_interpret_mode():
-                lo_on = _ctx(gpt_on)
-        step_rel = float(np.abs(lo_on - lo_off).max() /
-                         (np.abs(lo_off).max() + 1e-9))
-
-        # (b) token agreement over the short beam decode
-        ids_off = np.asarray(generate(dec_params, gpt_off, emb, dp))
-        if on_tpu:
-            ids_on = np.asarray(generate(dec_params, gpt_on, emb, dp))
-        else:
-            with pltpu.force_tpu_interpret_mode():
-                ids_on = np.asarray(generate(dec_params, gpt_on, emb, dp))
-        from video_caption_tpu.ops.pallas import beam_attention, lm_head
-
-        agree = float((ids_on == ids_off).all(axis=1).mean())
-        ok = step_rel <= 3e-2 and agree >= 0.6
-        results["decode kernels vs XLA"] = {
-            "ok": ok,
-            "step_logits_rel_err": step_rel, "step_rel_tol": 3e-2,
-            "token_agreement_rate": agree, "agreement_floor": 0.6,
-            "tokens_equal": bool((ids_on == ids_off).all()),
-            "beam_attention_backend": beam_attention.last_backend,
-            "lm_head_backend": lm_head.last_backend,
-        }
-        log.info("%-28s step_rel=%.2e agree=%.3f (beam_attn=%s lm_head=%s)",
-                 "decode kernels vs XLA", step_rel, agree,
-                 beam_attention.last_backend, lm_head.last_backend)
-    except Exception as exc:  # pragma: no cover
-        results["decode kernels vs XLA"] = {"ok": False, "error": str(exc)}
+            log.info("%-28s step_rel=%.2e agree=%.3f (flat %.3f, min_gap %.2f, "
+                     "mean_gap %.2f, beam_attn=%s lm_head=%s)",
+                     "decode kernels vs XLA", step_rel, agree, agree_flat,
+                     peak_min_gap, peak_mean_gap,
+                     beam_attention.last_backend, lm_head.last_backend)
+        except Exception as exc:  # pragma: no cover
+            results["decode kernels vs XLA"] = {"ok": False, "error": str(exc)}
 
     results["all_ok"] = all(v.get("ok") for v in results.values() if isinstance(v, dict))
     return results
@@ -218,8 +329,24 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--image_size", type=int, default=64)
     p.add_argument("--num_frames", type=int, default=2)
+    p.add_argument("--only", choices=("encoder", "decode"), default=None,
+                   help="run a single leg; with --merge_into, other legs' "
+                        "results are carried over from the existing report")
+    p.add_argument("--merge_into", default=None,
+                   help="path of an existing report JSON to merge with")
     args = p.parse_args(argv)
-    results = check_alignment(args.image_size, args.num_frames)
+    results = check_alignment(args.image_size, args.num_frames, only=args.only)
+    if args.merge_into:
+        try:
+            prior = json.loads(open(args.merge_into).read())
+            prior.pop("all_ok", None)
+            merged = {**prior, **{k: v for k, v in results.items() if k != "all_ok"}}
+            merged["all_ok"] = all(
+                v.get("ok") for v in merged.values() if isinstance(v, dict))
+            results = merged
+        except Exception as exc:
+            log.warning("merge into %s failed (%s); standalone result",
+                        args.merge_into, exc)
     print(json.dumps(results, indent=1))
     return 0 if results["all_ok"] else 1
 

@@ -105,4 +105,4 @@ def write_bs_comparison(path: Path, per_bs: List[Dict]) -> None:
 
 def write_json(path: Path, payload: Dict) -> None:
     path.parent.mkdir(parents=True, exist_ok=True)
-    path.write_text(json.dumps(payload, indent=2))
+    path.write_text(json.dumps(payload, indent=2) + "\n")

@@ -295,7 +295,7 @@ def measure_roofline(engine, batch: int = 16, trials: int = 5,
     if report_path:
         p = Path(report_path)
         p.parent.mkdir(exist_ok=True)
-        p.write_text(json.dumps(result, indent=1))
+        p.write_text(json.dumps(result, indent=1) + "\n")
     return result
 
 
@@ -303,6 +303,7 @@ def measure_training_step(
     batch: int = 8, num_frames: int = 8, trials: int = 10,
     yuv420_wire: bool = True, unfreeze_last_gpt2: int = 0,
     report_path: Optional[str] = "reports/roofline_training.json",
+    dtype: str = "float32",
 ) -> Dict[str, Any]:
     """Training-step roofline at full production geometry (frozen ViT-B/16 +
     mapper + GPT-2 teacher forcing — the product trainer's stage).
@@ -325,6 +326,17 @@ def measure_training_step(
 
     inf_cfg = default_inference_config(ckpt="none.pt", num_frames=num_frames)
     mc = model_config_from_inference(inf_cfg)
+    if dtype != "float32":
+        # mixed precision: fp32 master params (init below), compute in
+        # ``dtype`` — the forward casts weights/activations to the config
+        # dtype, autodiff of the cast returns fp32 grads, optimizer math
+        # stays fp32. The loss itself reduces in fp32 (g2.lm_loss).
+        import dataclasses as _dc
+
+        dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.dtype(dtype)
+        mc = _dc.replace(
+            mc, vit=_dc.replace(mc.vit, dtype=dt),
+            gpt2=_dc.replace(mc.gpt2, dtype=dt))
     params = cm.init_caption_model(jax.random.PRNGKey(0), mc)
     trainer = MapperTrainer(
         mc, params,
@@ -354,6 +366,23 @@ def measure_training_step(
         return loss
 
     t_e2e, _ = _timed(step_host, trials)
+
+    # prefetched e2e: upload batch N+1 (async device_put) BEFORE stepping
+    # batch N, so the wire overlaps device compute — the double-buffered
+    # input pipeline a real epoch should run (the plain e2e above re-pays
+    # the full wire serially every step: 4x device_ms at bs=8, r3 roofline)
+    def run_prefetched(n_steps: int) -> float:
+        nxt = jax.device_put(host_batch)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            cur, nxt = nxt, jax.device_put(host_batch)
+            trainer.params, trainer.opt_state, loss = trainer.train_step(
+                trainer.params, trainer.opt_state, cur)
+        jax.block_until_ready(loss)
+        return (time.perf_counter() - t0) / n_steps
+
+    run_prefetched(2)  # warm
+    t_pre = min(run_prefetched(max(trials // 2, 3)) for _ in range(3))
 
     dev_batch = jax.tree.map(jnp.asarray, host_batch)
     jax.block_until_ready(dev_batch)
@@ -388,9 +417,11 @@ def measure_training_step(
         "batch": batch, "num_frames": num_frames,
         "yuv420_wire": yuv420_wire,
         "unfreeze_last_gpt2": unfreeze_last_gpt2,
+        "dtype": dtype,
         "trials": trials,
         "device_ms": round(t_dev * 1e3, 2),
         "e2e_ms": round(t_e2e * 1e3, 2),
+        "e2e_prefetch_ms": round(t_pre * 1e3, 2),
         "wire_mb_per_step": round(wire_bytes / 1e6, 2),
         "gflops": round(flops / 1e9, 1) if flops else None,
         "tflops_per_sec": round(flops / t_dev / 1e12, 2) if flops else None,
@@ -400,5 +431,5 @@ def measure_training_step(
     if report_path:
         p = Path(report_path)
         p.parent.mkdir(exist_ok=True)
-        p.write_text(json.dumps(result, indent=1))
+        p.write_text(json.dumps(result, indent=1) + "\n")
     return result

@@ -253,7 +253,7 @@ def main(argv=None) -> int:
     print(json.dumps(result, indent=1))
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_text(json.dumps(result, indent=1))
+    out.write_text(json.dumps(result, indent=1) + "\n")
     return 0
 
 
