@@ -167,6 +167,9 @@ class InferenceEngine:
         self._video_cache: "OrderedDict" = OrderedDict()
         self._video_cache_lock = threading.Lock()
         self._video_cache_total = 0
+        # device copies of the (constant) tiled prompt ids/masks, keyed
+        # (policy, batch, prompt bytes) — see run_decode_group
+        self._prompt_cache: Dict = {}
         self._video_cache_bytes = int(
             os.environ.get("VIDEO_CAPTION_VIDEO_CACHE_MB", "256")
         ) * 1024 * 1024
@@ -669,10 +672,13 @@ class InferenceEngine:
             for _ in group_list:
                 sub, key = jax.random.split(sub)
                 keys.append(key)
-            prompts = tuple(
-                (jnp.asarray(ids_arr), jnp.asarray(mask_arr))
-                for _, _, ids_arr, mask_arr in group_list
-            )
+            prompts = self._prompt_cache.get("unified")
+            if prompts is None:  # constant per engine config — upload once
+                prompts = tuple(
+                    (jnp.asarray(ids_arr), jnp.asarray(mask_arr))
+                    for _, _, ids_arr, mask_arr in group_list
+                )
+                self._prompt_cache["unified"] = prompts
             dps = tuple(dp for dp, *_ in group_list)
             outs = generate_unified(
                 self.params["decoder"], self.model_cfg.gpt2, prefix, prompts,
@@ -684,6 +690,15 @@ class InferenceEngine:
             for dp, idxs, ids_arr, mask_arr in group_list:
                 sub, key = jax.random.split(sub)
                 outs.append(self.run_decode_group(prefix, dp, ids_arr, mask_arr, key))
+        # start the device->host copy of every output now: when the decode
+        # programs finish, the (tiny) token buffers stream to the host
+        # immediately, so the collect-side device_get is a local read
+        # instead of a post-completion round trip on the tunneled link
+        for leaf in jax.tree_util.tree_leaves(outs):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                break  # backend without async host copies
         return outs, group_list, n_pairs, video.shape[0]
 
     def run_decode_group(self, prefix: jax.Array, dp: DecodeParams,
@@ -703,8 +718,17 @@ class InferenceEngine:
         params = self.params if params is None else params
         v = prefix.shape[0]
         prefix_rows = jnp.repeat(prefix, ids_arr.shape[0], axis=0)
-        ids = jnp.asarray(np.tile(ids_arr, (v, 1)))
-        mask = jnp.asarray(np.tile(mask_arr, (v, 1)))
+        # prompts are constants per (policy, batch) — cache their device
+        # copies instead of re-uploading every dispatch (each tiny upload
+        # still pays a host->device trip on a tunneled link; the warm path
+        # dispatches 1-3 groups per batch)
+        pk = (dp, v, ids_arr.tobytes(), mask_arr.tobytes())
+        cached = self._prompt_cache.get(pk)
+        if cached is None:
+            cached = (jnp.asarray(np.tile(ids_arr, (v, 1))),
+                      jnp.asarray(np.tile(mask_arr, (v, 1))))
+            self._prompt_cache[pk] = cached
+        ids, mask = cached
         return generate_prefixed(
             params["decoder"], self.model_cfg.gpt2, prefix_rows, ids, mask,
             dp, key,
