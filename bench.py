@@ -226,7 +226,7 @@ def main() -> None:
     record = {
         "metric": "captions_per_sec_per_chip",
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "round": int(os.environ.get("BUILD_ROUND", "4")),
+        "round": int(os.environ.get("BUILD_ROUND", "5")),
         "value": round(caps_per_sec, 4),
         "unit": "captions/s",
         "vs_baseline": round(vs_baseline, 4),
