@@ -38,9 +38,6 @@ VARIANTS = [
                                     "VIDEO_CAPTION_DEFERRED_KV_WRITE": "1"}),
     ("beam", "beam", {"VIDEO_CAPTION_DEFERRED_KV_WRITE": "0"}),
     ("beam+deferred", "beam", {"VIDEO_CAPTION_DEFERRED_KV_WRITE": "1"}),
-    ("beam+v2", "beam", {"VIDEO_CAPTION_BEAM_ATTN_V2": "1"}),
-    ("beam+v2+deferred", "beam", {"VIDEO_CAPTION_BEAM_ATTN_V2": "1",
-                                  "VIDEO_CAPTION_DEFERRED_KV_WRITE": "1"}),
 ]
 
 PAT = re.compile(r"total self time: [\d.]+ ms over \d+ iters \(([\d.]+) ms/iter\)")

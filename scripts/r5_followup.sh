@@ -12,6 +12,12 @@ mkdir -p "$OUT"
 cd /root/repo
 export PYTHONPATH="/root/repo${PYTHONPATH:+:$PYTHONPATH}"
 
+echo "=== int8_pipelined start $(date +%H:%M:%S)" | tee -a "$OUT/session.log"
+timeout 2400 python scripts/r5_int8_pipelined.py 64 5 \
+    > "$OUT/int8_pipelined.log" 2>&1
+echo "=== int8_pipelined exit $? at $(date +%H:%M:%S)" | tee -a "$OUT/session.log"
+tail -3 "$OUT/int8_pipelined.log" | sed 's/^/    /'
+
 echo "=== align_decode start $(date +%H:%M:%S)" | tee -a "$OUT/session.log"
 timeout 7200 python -m video_caption_tpu.bench.accuracy_alignment \
     --image_size 224 --num_frames 4 --only decode \

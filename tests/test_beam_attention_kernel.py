@@ -102,54 +102,3 @@ def test_fallback_off_tpu():
     out = ba.beam_gen_attention(q, gkv, pk, pv, valid, anc, t,
                                 hmask.astype(q.dtype), 0, 3, cfg.n_head)
     assert out is None   # CPU backend without interpret mode -> XLA path
-
-
-@pytest.mark.parametrize("t_val", [0, 3])
-@pytest.mark.parametrize("deferred", [False, True])
-def test_v2_time_blocked_matches_v1(t_val, deferred):
-    """_run_v2 (time-blocked flash-accumulator variant) vs _run across
-    multiple time blocks (tbs=4 over n=8 -> 2 blocks) including the clamped
-    dead-block fetch at small t, in both plain and deferred-write modes.
-    Also pins the full-N anc BlockSpec: a (rb, tbs) lane-axis anc block is
-    Mosaic-illegal (lane dims must be 128-divisible or the full dim) and
-    crashed the enclosing beam program's compile on v5e 2026-08-19."""
-    cfg, q, gkv, pk, pv, valid, anc, _ = _case(b=4, k=2, nh=2, hd=64,
-                                               s0=8, n=8, seed=7)
-    rng = np.random.RandomState(11)
-    r, h = q.shape
-    kn = jnp.asarray(rng.randn(r, h).astype(np.float32)) if deferred else None
-    vn = jnp.asarray(rng.randn(r, h).astype(np.float32)) if deferred else None
-    ta = jnp.asarray([t_val], jnp.int32)
-    with pltpu.force_tpu_interpret_mode():
-        ref = ba._run(ta, q, gkv, pk, pv, valid, anc, 1, 2, cfg.n_head, 2,
-                      k_new=kn, v_new=vn)
-        out = ba._run_v2(ta, q, gkv, pk, pv, valid, anc, 1, 2, cfg.n_head, 2,
-                         tbs=4, k_new=kn, v_new=vn)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
-
-
-def test_v2_wrapper_gating_and_parity():
-    """beam_gen_attention(time_blocked=True): engages v2 when the gen axis
-    is 8-divisible and falls back to the v1 kernel (still Pallas) when the
-    buffer is too short to time-block."""
-    cfg, q, gkv, pk, pv, valid, anc, t = _case(b=8, k=3, nh=4, hd=32,
-                                               s0=12, n=8, t_val=5, seed=2)
-    hmask = g2.head_block_mask(cfg)
-    sel = g2.ancestry_mask(anc, valid.shape[0], 3, t)
-    ref = g2._beam_attend(q, pk[0], pv[0], gkv[0, :, 0], gkv[0, :, 1],
-                          valid, sel, hmask, 3, cfg)
-    with pltpu.force_tpu_interpret_mode():
-        out = ba.beam_gen_attention(q, gkv, pk, pv, valid, anc, t,
-                                    hmask.astype(q.dtype), 0, 3, cfg.n_head,
-                                    time_blocked=True)
-    assert out is not None, ba.last_error
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
-    # n=6 is not 8-divisible -> v1 runner (same result contract, no crash)
-    cfg2, q2, gkv2, pk2, pv2, valid2, anc2, t2 = _case(n=6, t_val=3, seed=4)
-    with pltpu.force_tpu_interpret_mode():
-        out2 = ba.beam_gen_attention(q2, gkv2, pk2, pv2, valid2, anc2, t2,
-                                     g2.head_block_mask(cfg2).astype(q2.dtype),
-                                     0, 3, cfg2.n_head, time_blocked=True)
-    assert out2 is not None, ba.last_error

@@ -140,14 +140,8 @@ def check_alignment(image_size: int = 224, num_frames: int = 4, seed: int = 0,
                     dtype=jnp.float32,
                     use_pallas_lm_head=False, use_pallas_beam_attention=False)
                 dec_params = g2.init_gpt2_params(jax.random.PRNGKey(9), gpt_off)
-            from video_caption_tpu.config import _env_bool
-
             gpt_on = dataclasses.replace(
-                gpt_off, use_pallas_lm_head=True, use_pallas_beam_attention=True,
-                # honor the v2 opt-in so `VIDEO_CAPTION_BEAM_ATTN_V2=1 python -m
-                # ...accuracy_alignment` actually gates the time-blocked kernel
-                # (this leg builds GPT2Config directly, bypassing CompileConfig)
-                beam_attn_time_blocked=_env_bool("VIDEO_CAPTION_BEAM_ATTN_V2", False))
+                gpt_off, use_pallas_lm_head=True, use_pallas_beam_attention=True)
             dp = DecodeParams(max_new_tokens=6, num_beams=4, min_new_tokens=2,
                               eos_id=gpt_off.vocab_size - 1)
             # On TPU the batch MUST put the beam row count past 256: integer

@@ -126,9 +126,6 @@ class CompileConfig:
     use_pallas_beam_attention: bool = _env_bool("VIDEO_CAPTION_PALLAS_BEAM_ATTN", True)
     """Beam decode attention custom call (ops/pallas/beam_attention.py) —
     also the gen-cache layout anchor (GPT2Config docstring)."""
-    beam_attn_time_blocked: bool = _env_bool("VIDEO_CAPTION_BEAM_ATTN_V2", False)
-    """Time-blocked beam-attention kernel (flash accumulators; fetches only
-    the gen-cache blocks containing columns <= t). Opt-in pending A/B."""
     use_pallas_decode_layer: bool = _env_bool("VIDEO_CAPTION_PALLAS_DECODE_LAYER", False)
     """Fused whole-layer decode kernel for the greedy/sampled step
     (ops/pallas/decode_layer.py). Auto-disabled under int8 quantization."""

@@ -63,7 +63,6 @@ def model_config_from_inference(config: InferenceConfig) -> cm.CaptionModelConfi
             use_pallas_lm_head=config.compile.use_pallas_lm_head,
             deferred_cache_write=config.compile.deferred_decode_cache_write,
             use_pallas_beam_attention=config.compile.use_pallas_beam_attention,
-            beam_attn_time_blocked=config.compile.beam_attn_time_blocked,
             sample_split_cache=config.compile.sample_split_cache,
             use_pallas_decode_layer=(
                 config.compile.use_pallas_decode_layer

@@ -62,12 +62,6 @@ class GPT2Config:
     gather — the single-chip flat-row form (lp._gather_windows docstring)
     flattens batch x window dims across the sharding and makes GSPMD
     all-gather the gathered candidate windows every step."""
-    beam_attn_time_blocked: bool = False
-    """Use the time-blocked (flash-accumulation) beam-attention kernel v2:
-    the gen cache is fetched in t-bounded time blocks instead of all N
-    columns every step (beam_attention._kernel_v2). Opt-in pending the
-    on-chip A/B; online-softmax association differs from v1 at f32 LSB
-    (outputs cast to bf16 either way, token parity gated)."""
     use_pallas_beam_attention: bool = True
     """Beam decode attention as a Pallas custom call
     (ops/pallas/beam_attention.py). Besides fusing the masked split-cache
@@ -853,8 +847,7 @@ def gpt2_beam_step(
             out = beam_gen_attention(
                 q.astype(dt), gkv_all, pk_all, pv_all, prefill_valid, anc, t,
                 hmask.astype(dt), layer, k_beams, cfg.n_head,
-                k_new=k_cur, v_new=v_cur,
-                time_blocked=cfg.beam_attn_time_blocked)
+                k_new=k_cur, v_new=v_cur)
         if out is None:
             if sel is None:
                 # deferred: STRICT mask (column t handled as the explicit

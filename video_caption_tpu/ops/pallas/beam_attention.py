@@ -171,203 +171,10 @@ def _kernel(t_ref, q_ref, gkv_ref, pk_ref, pv_ref, valid_ref, anc_ref,
         o_ref[:, sl] = out.astype(o_ref.dtype)
 
 
-def _kernel_v2(t_ref, q_ref, gkv_ref, pk_ref, pv_ref, valid_ref, anc_ref,
-               *refs, layer: int, vb: int, k: int, nh: int,
-               s0: int, n: int, tbs: int, nt: int, scale: float,
-               deferred: bool):
-    """Time-blocked variant of ``_kernel``: grid (video-block, time-block)
-    with flash-style online-softmax accumulators in VMEM scratch.
-
-    Why: the v1 kernel DMAs the FULL [N, 2, rb, H] gen-cache block and runs
-    masks + logit dots over all N columns at every step — at step t only
-    t+1 columns exist, so on average ~half the gen DMA and VPU work is
-    masked-dead (the 12 per-layer calls were 24.5 ms of the 75.6 ms beam
-    iteration, ~2.9x their DMA floor, hlo_stats v5e 2026-08-19). Here the
-    gen cache is fetched in ``tbs``-column blocks whose index map CLAMPS to
-    the last block containing column t (consecutive equal indices dedupe
-    the DMA — Pallas revisiting semantics) and ``pl.when`` skips the dead
-    blocks' compute entirely.
-
-    Numerics: online softmax (running max / rescaled partial sums) instead
-    of v1's single-pass max-then-exp — same values up to f32 association;
-    the output is cast to the compute dtype (bf16 in production) either
-    way. Exactness of the one-hot ancestry expansion follows v1 (hi/lo
-    split < 128)."""
-    if deferred:
-        knew_ref, vnew_ref, o_ref, m_ref, d_ref, acc_ref = refs
-    else:
-        o_ref, m_ref, d_ref, acc_ref = refs
-    t = t_ref[0]
-    iv = pl.program_id(0)
-    tb = pl.program_id(1)
-    q = q_ref[:]                          # [rb, H]
-    rb = q.shape[0]
-    h = q.shape[-1]
-    hd = h // nh
-    dt = q.dtype
-    t_eff = t - 1 if deferred else t      # newest attendable gen column
-
-    @pl.when(tb == 0)
-    def _init():
-        # -1e30 (not -inf): masked-out logits are _NEG, so exp(old - new)
-        # and exp(l - new) underflow to exactly 0.0 for dead entries while
-        # avoiding inf-inf NaNs before the first real column lands
-        m_ref[:] = jnp.full_like(m_ref[:], _NEG)
-        d_ref[:] = jnp.zeros_like(d_ref[:])
-        acc_ref[:] = jnp.zeros_like(acc_ref[:])
-
-    def accum(hh, lg, vflat, sl):
-        """Online-softmax update of head hh's (m, denom, acc) with one
-        block's masked logits ``lg`` [rb, C] and values ``vflat`` [C, H]."""
-        m_old = m_ref[:, hh:hh + 1]
-        m_new = jnp.maximum(m_old, lg.max(axis=-1, keepdims=True))
-        corr = jnp.exp(m_old - m_new)
-        e = jnp.exp(lg - m_new)
-        d_ref[:, hh:hh + 1] = d_ref[:, hh:hh + 1] * corr + e.sum(
-            axis=-1, keepdims=True)
-        acc_ref[:, sl] = acc_ref[:, sl] * corr + jax.lax.dot_general(
-            e.astype(dt), vflat[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_ref[:, hh:hh + 1] = m_new
-
-    @pl.when(tb == 0)
-    def _prefill():
-        pk = pk_ref[:][0]                 # [vb, S0, H]
-        pv = pv_ref[:][0]
-        cs = vb * s0
-        pkf = pk.reshape(cs, h)
-        pvf = pv.reshape(cs, h)
-        valid01 = (valid_ref[:] > 0).astype(jnp.float32)
-        pos_onehot = (jax.lax.broadcasted_iota(jnp.int32, (s0, cs), 1) % s0 ==
-                      jax.lax.broadcasted_iota(jnp.int32, (s0, cs), 0)
-                      ).astype(jnp.float32)
-        vx = jax.lax.dot_general(valid01, pos_onehot, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        vid_c = jax.lax.broadcasted_iota(jnp.int32, (vb, cs), 1) // s0
-        vm = vx * (vid_c == jax.lax.broadcasted_iota(jnp.int32, (vb, cs), 0)
-                   ).astype(jnp.float32)
-        eq_vid = (jax.lax.broadcasted_iota(jnp.int32, (rb, vb), 0) // k ==
-                  jax.lax.broadcasted_iota(jnp.int32, (rb, vb), 1)
-                  ).astype(jnp.float32)
-        mask_p = jax.lax.dot_general(eq_vid, vm, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32) > 0.5
-        for hh in range(nh):
-            sl = slice(hh * hd, (hh + 1) * hd)
-            lp = jax.lax.dot_general(
-                q[:, sl], pkf[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            accum(hh, jnp.where(mask_p, lp, _NEG), pvf, sl)
-
-    @pl.when(tb * tbs <= t_eff)
-    def _gen_block():
-        gkv = gkv_ref[:][0]               # [tbs, 2, rb, H]
-        gkf = gkv[:, 0].reshape(tbs * rb, h)
-        gvf = gkv[:, 1].reshape(tbs * rb, h)
-        cg = tbs * rb
-        # Select this time block's ancestry columns from the FULL [rb, N]
-        # anc block inside the one-hot expansion itself: exp_nn[s, c] hits
-        # only s == tb*tbs + c//rb. A (rb, tbs) anc BlockSpec is illegal —
-        # Mosaic requires lane-axis blocks divisible by 128 or equal to the
-        # full dim (tbs=8 is neither; caught on v5e 2026-08-19) — and anc
-        # is KBs, so fetching all N columns per grid step costs nothing.
-        exp_nn = (jax.lax.broadcasted_iota(jnp.int32, (n, cg), 0) ==
-                  tb * tbs +
-                  jax.lax.broadcasted_iota(jnp.int32, (n, cg), 1) // rb
-                  ).astype(jnp.float32)
-        anc_i = anc_ref[:]                # [rb, N]
-        anc_hi = (anc_i // 128).astype(jnp.float32)
-        anc_lo = (anc_i % 128).astype(jnp.float32)
-        anc_exp = 128.0 * jax.lax.dot_general(
-            anc_hi, exp_nn, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + jax.lax.dot_general(
-            anc_lo, exp_nn, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        col_pr = (jax.lax.broadcasted_iota(jnp.int32, (rb, cg), 1) % rb
-                  ).astype(jnp.float32)
-        col_nn = tb * tbs + jax.lax.broadcasted_iota(jnp.int32, (rb, cg), 1) // rb
-        row0 = (iv * rb).astype(jnp.float32)
-        mask_g = (anc_exp == row0 + col_pr) & (col_nn <= t_eff)
-        for hh in range(nh):
-            sl = slice(hh * hd, (hh + 1) * hd)
-            lg = jax.lax.dot_general(
-                q[:, sl], gkf[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            accum(hh, jnp.where(mask_g, lg, _NEG), gvf, sl)
-
-    @pl.when(tb == nt - 1)
-    def _finalize():
-        for hh in range(nh):
-            sl = slice(hh * hd, (hh + 1) * hd)
-            if deferred:
-                # self column: each row attends its OWN new K/V
-                ls = jnp.sum(q[:, sl].astype(jnp.float32) *
-                             knew_ref[:, sl].astype(jnp.float32),
-                             axis=-1, keepdims=True) * scale
-                m_old = m_ref[:, hh:hh + 1]
-                m_new = jnp.maximum(m_old, ls)
-                corr = jnp.exp(m_old - m_new)
-                es = jnp.exp(ls - m_new)
-                d_ref[:, hh:hh + 1] = d_ref[:, hh:hh + 1] * corr + es
-                acc_ref[:, sl] = acc_ref[:, sl] * corr + \
-                    es * vnew_ref[:, sl].astype(jnp.float32)
-                m_ref[:, hh:hh + 1] = m_new
-            o_ref[:, sl] = (acc_ref[:, sl] /
-                            d_ref[:, hh:hh + 1]).astype(o_ref.dtype)
-
-
-@partial(jax.jit, static_argnames=("layer", "k", "nh", "vb", "tbs"))
-def _run_v2(t_arr, q, gkv, pk, pv, valid, anc, layer: int, k: int,
-            nh: int, vb: int, tbs: int, k_new=None, v_new=None):
-    r, h = q.shape
-    n = gkv.shape[1]
-    b, s0 = valid.shape
-    deferred = k_new is not None
-    nt = -(-n // tbs)
-    kern = partial(_kernel_v2, layer=layer, vb=vb, k=k, nh=nh, s0=s0, n=n,
-                   tbs=tbs, nt=nt, scale=(h // nh) ** -0.5, deferred=deferred)
-    rb = vb * k
-    shift = 1 if deferred else 0
-
-    def gk_idx(iv, tb, t_ref):
-        needed = jnp.maximum(t_ref[0] - shift, 0) // tbs
-        return (layer, jnp.minimum(tb, needed), 0, iv, 0)
-
-    in_specs = [
-        pl.BlockSpec((rb, h), lambda iv, tb, t: (iv, 0)),
-        pl.BlockSpec((1, tbs, 2, rb, h), gk_idx),
-        pl.BlockSpec((1, vb, s0, h), lambda iv, tb, t: (layer, iv, 0, 0)),
-        pl.BlockSpec((1, vb, s0, h), lambda iv, tb, t: (layer, iv, 0, 0)),
-        pl.BlockSpec((vb, s0), lambda iv, tb, t: (iv, 0)),
-        # full-N anc block: a (rb, tbs) lane-axis block is Mosaic-illegal
-        # (see _gen_block); the kernel selects the tb columns via exp_nn
-        pl.BlockSpec((rb, n), lambda iv, tb, t: (iv, 0)),
-    ]
-    args = [t_arr, q, gkv, pk, pv, valid, anc]
-    if deferred:
-        in_specs += [pl.BlockSpec((rb, h), lambda iv, tb, t: (iv, 0)),
-                     pl.BlockSpec((rb, h), lambda iv, tb, t: (iv, 0))]
-        args += [k_new, v_new]
-    return pl.pallas_call(
-        kern,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b // vb, nt),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((rb, h), lambda iv, tb, t: (iv, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((rb, 128), jnp.float32),   # running max per head
-                pltpu.VMEM((rb, 128), jnp.float32),   # running denom per head
-                pltpu.VMEM((rb, h), jnp.float32),     # output accumulator
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((r, h), q.dtype),
-    )(*args)
-
-
 _probe_ok: dict = {}
 
 
-def _compile_probe(deferred: bool, time_blocked: bool = False) -> bool:
+def _compile_probe(deferred: bool) -> bool:
     """Eagerly compile the kernel once at tiny shapes before it is ever
     traced into a real program. Mosaic lowering failures surface at the
     ENCLOSING program's compile — after tracing, outside any try/except
@@ -380,7 +187,7 @@ def _compile_probe(deferred: bool, time_blocked: bool = False) -> bool:
     from video_caption_tpu.ops.pallas.platform import _interpret_mode_forced
     if _interpret_mode_forced():
         return True
-    key = (bool(deferred), bool(time_blocked))
+    key = bool(deferred)
     if key in _probe_ok:
         return _probe_ok[key]
     global last_error
@@ -388,8 +195,7 @@ def _compile_probe(deferred: bool, time_blocked: bool = False) -> bool:
         k, nh, h, vb, b, s0, n = 2, 2, 256, 4, 4, 8, 8
         r = b * k
         z = lambda shape: jnp.zeros(shape, jnp.bfloat16)  # noqa: E731
-        runner = partial(_run_v2, tbs=4) if time_blocked else _run
-        out = runner(
+        out = _run(
             jnp.zeros((1,), jnp.int32), z((r, h)), z((2, n, 2, r, h)),
             z((2, b, s0, h)), z((2, b, s0, h)),
             jnp.ones((b, s0), jnp.int32), jnp.zeros((r, n), jnp.int32),
@@ -457,8 +263,6 @@ def beam_gen_attention(
     nh: int,
     k_new: Optional[jax.Array] = None,  # [R, H] deferred-write mode: this
     v_new: Optional[jax.Array] = None,  # step's K/V (cache column t stale)
-    time_blocked: bool = False,         # v2 kernel: gen cache fetched in
-                                        # t-bounded time blocks (_kernel_v2)
 ) -> Optional[jax.Array]:
     """Attention output [R, H] for one layer of the beam decode step, or
     None (fallback to the XLA _beam_attend path)."""
@@ -491,23 +295,23 @@ def beam_gen_attention(
     if vb is None or h % 128:
         last_backend = "xla"
         return None
-    # v2 needs the gen-column axis to tile evenly into time blocks (the
-    # production buffers are max_new_tokens = 24/40, both 8-divisible);
-    # short buffers fall back to v1 where time-blocking buys nothing
-    n_cols = gkv_all.shape[1]
-    use_v2 = time_blocked and n_cols % 8 == 0 and n_cols >= 8
-    if not _compile_probe(k_new is not None, use_v2):
+    # A time-blocked v2 variant (gen cache fetched in t-bounded blocks with
+    # flash-style online-softmax accumulators) was built and A/B'd on chip
+    # (2026-08-20, bs=64 beam group): 110.2 ms/iter hlo self-time vs 73.4 for
+    # this kernel — the per-block fixed cost (accumulator rescale + grid
+    # revisit) outweighed the saved masked-dead DMA/VPU work. Deleted per the
+    # trunk_2d precedent; see BASELINE.md "beam-attention v2".
+    if not _compile_probe(k_new is not None):
         last_backend = "xla"
         return None
     try:
         t_arr = jnp.asarray(t, jnp.int32).reshape(1)
         kn = None if k_new is None else k_new.astype(q.dtype)
         vn = None if v_new is None else v_new.astype(q.dtype)
-        runner = partial(_run_v2, tbs=8) if use_v2 else _run
-        out = runner(t_arr, q, gkv_all, pk_all, pv_all,
-                     prefill_valid.astype(jnp.int32), anc.astype(jnp.int32),
-                     layer, k, nh, vb,
-                     k_new=kn, v_new=vn)
+        out = _run(t_arr, q, gkv_all, pk_all, pv_all,
+                   prefill_valid.astype(jnp.int32), anc.astype(jnp.int32),
+                   layer, k, nh, vb,
+                   k_new=kn, v_new=vn)
         last_backend = "pallas"
         return out
     except Exception as exc:
