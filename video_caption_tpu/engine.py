@@ -291,16 +291,33 @@ class InferenceEngine:
         size) + sampling params — replacing any frame (even one that keeps
         the directory's newest mtime, e.g. a timestamp-preserving rsync)
         changes the key. Returns (key, files) so the miss path can reuse the
-        directory listing."""
-        from video_caption_tpu.preprocessing.frame_loader import list_frames
+        directory listing.
 
-        files = list_frames(frames_dir)
-        if not files:
+        One scandir pass instead of glob + per-file Path.stat(): DirEntry
+        stats resolve via the already-open directory fd (fstatat) with no
+        per-file path walk — the warm bs=64 batch pays 64 of these lookups
+        per dispatch, and the glob+stat form profiled 23.4 ms/batch of the
+        ~35 ms total host work (scripts/profile_warm.py, v5e 2026-08-20)."""
+        import os as _os
+
+        entries = []
+        try:
+            with _os.scandir(frames_dir) as it:
+                for e in it:
+                    n = e.name
+                    if n.startswith("frame_") and n.endswith(".jpg"):
+                        st = e.stat()
+                        entries.append((n, st.st_mtime_ns, st.st_size))
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"No frame_*.jpg files found under {frames_dir}")
+        if not entries:
             raise FileNotFoundError(f"No frame_*.jpg files found under {frames_dir}")
-        stamp = hash(tuple(
-            (p.name, (st := p.stat()).st_mtime_ns, st.st_size) for p in files
-        ))
+        entries.sort()
+        stamp = hash(tuple(entries))
         key = (str(frames_dir), stamp, self.config.num_frames, self.config.image_size)
+        base = Path(frames_dir)
+        files = [base / n for n, _, _ in entries]
         return key, files
 
     def _video_cache_get(self, frames_dir: str):
@@ -773,8 +790,14 @@ class InferenceEngine:
 
                 keys, slots = [], []
                 miss_by_key: Dict = {}
-                for i, d in enumerate(frames_dirs):
-                    key, hit, _ = self._video_cache_get(d)
+                # key computation is stat-bound (scandir per dir; syscalls
+                # release the GIL) — thread it across dirs for large batches
+                if len(frames_dirs) >= 8 and self._video_cache_bytes > 0:
+                    with ThreadPoolExecutor(max_workers=8) as kpool:
+                        lookups = list(kpool.map(self._video_cache_get, frames_dirs))
+                else:
+                    lookups = [self._video_cache_get(d) for d in frames_dirs]
+                for i, (key, hit, _) in enumerate(lookups):
                     keys.append(key)
                     slots.append(hit)
                     if hit is None:
