@@ -12,6 +12,11 @@ mkdir -p "$OUT"
 cd /root/repo
 export PYTHONPATH="/root/repo${PYTHONPATH:+:$PYTHONPATH}"
 
+echo "=== train_perf2 start $(date +%H:%M:%S)" | tee -a "$OUT/session.log"
+timeout 3600 python scripts/r5_train_perf.py > "$OUT/train_perf2.log" 2>&1
+echo "=== train_perf2 exit $? at $(date +%H:%M:%S)" | tee -a "$OUT/session.log"
+tail -2 "$OUT/train_perf2.log" | sed 's/^/    /'
+
 echo "=== int8_pipelined start $(date +%H:%M:%S)" | tee -a "$OUT/session.log"
 timeout 2400 python scripts/r5_int8_pipelined.py 64 5 \
     > "$OUT/int8_pipelined.log" 2>&1

@@ -89,6 +89,32 @@ def decode_group_flops(gcfg, rows: int, num_beams: int, prefill_len: int,
     return prefill + r * max_new_tokens * per_step
 
 
+def training_step_flops(mc, batch: int, num_frames: int, cap_len: int,
+                        unfreeze_last_gpt2: int = 0) -> float:
+    """Dense FLOPs of one mapper-trainer step (compute_loss + backward).
+
+    Why analytic: XLA's compiled cost_analysis() on the remote-compile
+    backend reports ~2.1 TFLOP for the bs=64 step whose frozen ViT forward
+    ALONE is 512 frames x 35.1 GFLOP = 18 TFLOP (the serving roofline's
+    per-frame count, reports/roofline.json encode stage) — an 8.5x
+    undercount that made three rounds of training-MFU numbers (2.34%)
+    meaningless. Composition:
+    - encoder forward only (stop_gradient: XLA drops its backward),
+    - GPT-2 teacher-forcing forward at S = prefix + caption tokens,
+    - backward as dgrad through EVERY decoder layer (the prefix gradient
+      must reach the mapper) ~= 1x forward matmul cost; wgrad only for the
+      unfrozen tail blocks (mapper/proj wgrad is negligible)."""
+    g = mc.gpt2
+    h, L, V = g.n_embd, g.n_layer, g.vocab_size
+    s = mc.prefix_len + cap_len
+    enc = batch * vit_encode_flops(mc, num_frames)
+    per_block = 24 * h * h * s + 4 * s * s * h
+    fwd = L * per_block + 2 * s * h * V
+    dgrad = fwd
+    wgrad = unfreeze_last_gpt2 * per_block
+    return enc + batch * (fwd + dgrad + wgrad)
+
+
 def decode_group_bytes(params, gcfg, rows: int, num_beams: int,
                        max_new_tokens: int, max_len: int) -> float:
     """Weight traffic dominates: whole decoder read once per step, plus the
@@ -326,17 +352,18 @@ def measure_training_step(
 
     inf_cfg = default_inference_config(ckpt="none.pt", num_frames=num_frames)
     mc = model_config_from_inference(inf_cfg)
-    if dtype != "float32":
-        # mixed precision: fp32 master params (init below), compute in
-        # ``dtype`` — the forward casts weights/activations to the config
-        # dtype, autodiff of the cast returns fp32 grads, optimizer math
-        # stays fp32. The loss itself reduces in fp32 (g2.lm_loss).
-        import dataclasses as _dc
+    # compute dtype: ALWAYS replace — the serving default config is already
+    # bf16 compute, so only overriding when dtype != "float32" made the
+    # "float32" sweep rows silently run bf16 too (r5 sweep: fp32 and bf16
+    # rows within 0.5 ms of each other at every batch — the tell). Mixed
+    # precision: fp32 master params (init below), compute in ``dtype``,
+    # autodiff of the cast returns fp32 grads, optimizer math stays fp32.
+    import dataclasses as _dc
 
-        dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.dtype(dtype)
-        mc = _dc.replace(
-            mc, vit=_dc.replace(mc.vit, dtype=dt),
-            gpt2=_dc.replace(mc.gpt2, dtype=dt))
+    dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.dtype(dtype)
+    mc = _dc.replace(
+        mc, vit=_dc.replace(mc.vit, dtype=dt),
+        gpt2=_dc.replace(mc.gpt2, dtype=dt))
     params = cm.init_caption_model(jax.random.PRNGKey(0), mc)
     trainer = MapperTrainer(
         mc, params,
@@ -396,15 +423,20 @@ def measure_training_step(
     # steps (state threads through, so steps serialize on device; see _timed)
     t_dev, _ = _timed(step_dev, trials, amortize=4)
 
-    # XLA's own FLOP count for the compiled step (exact for the traced graph)
-    flops = None
+    # FLOPs: analytic (training_step_flops docstring — XLA cost_analysis on
+    # this backend undercounts the step ~8.5x; kept as xla_cost_gflops for
+    # transparency, never used for the MFU headline)
+    flops = training_step_flops(
+        mc, batch, num_frames, host_batch["caption_ids"].shape[1],
+        unfreeze_last_gpt2)
+    xla_flops = None
     try:
         lowered = trainer.train_step.lower(
             trainer.params, trainer.opt_state, dev_batch)
         ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) or None
+        xla_flops = float(ca.get("flops", 0.0)) or None
     except Exception:   # cost_analysis availability varies by backend
         pass
 
@@ -423,10 +455,11 @@ def measure_training_step(
         "e2e_ms": round(t_e2e * 1e3, 2),
         "e2e_prefetch_ms": round(t_pre * 1e3, 2),
         "wire_mb_per_step": round(wire_bytes / 1e6, 2),
-        "gflops": round(flops / 1e9, 1) if flops else None,
-        "tflops_per_sec": round(flops / t_dev / 1e12, 2) if flops else None,
+        "gflops": round(flops / 1e9, 1),
+        "xla_cost_gflops": round(xla_flops / 1e9, 1) if xla_flops else None,
+        "tflops_per_sec": round(flops / t_dev / 1e12, 2),
     }
-    if peaks and flops:
+    if peaks:
         result["pct_peak_flops"] = round(100 * flops / t_dev / peaks[0], 2)
     if report_path:
         p = Path(report_path)
