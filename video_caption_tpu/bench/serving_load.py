@@ -30,10 +30,17 @@ def _boot_server(frames_dir: str, num_frames: int = 16, max_batch: int = 8,
                  port: int = 0):
     """Build + warm the serving stack once (engine, every batch bucket, HTTP
     server); returns (config, srv, url, payload) for one or many load runs."""
+    import os
+
     from video_caption_tpu.config import serving_inference_config
     from video_caption_tpu.server.services.model_registry import MODEL_REGISTRY
     from video_caption_tpu.server.stdlib_server import StdlibServer
 
+    # the coalescing queue reads its cap from the env at creation
+    # (inference_service.py): propagate so the benched cap matches the
+    # precompiled buckets — decode cost is nearly flat in batch (weight
+    # streaming dominates), so the cap IS the capacity knob
+    os.environ["VIDEO_CAPTION_SERVE_MAX_BATCH"] = str(max_batch)
     # serving workload = the reference SERVING presets incl. the heavier
     # "detailed" preset2 (backend_config.py:61-64), not the core default
     config = serving_inference_config(num_frames=num_frames)
@@ -154,7 +161,11 @@ def run_sweep(
     """
     booted = _boot_server(frames_dir, num_frames, max_batch)
     if qps_levels is None:
-        qps_levels = [8, 12, 16, 20, 24, 28, 32, 40, 48, 64]
+        # with a wide coalescing cap the knee sits well past the original
+        # ladder; start higher and step finer near the expected capacity
+        qps_levels = ([8, 12, 16, 20, 24, 28, 32, 40, 48, 64]
+                      if max_batch <= 8 else
+                      [32, 64, 96, 112, 128, 144, 160, 176, 192])
     curve, max_ok = [], None
     knee_found = False
     try:
@@ -235,6 +246,8 @@ def main(argv=None) -> int:
     p.add_argument("--num_frames", type=int, default=16)
     p.add_argument("--sweep", action="store_true",
                    help="offered-QPS sweep to the saturation knee")
+    p.add_argument("--max_batch", type=int, default=8,
+                   help="coalescing-queue cap (buckets precompiled at boot)")
     p.add_argument("--out", default="reports/serving_load.json")
     args = p.parse_args(argv)
 
@@ -247,9 +260,11 @@ def main(argv=None) -> int:
         if args.out == "reports/serving_load.json":
             args.out = "reports/serving_load_sweep.json"
         result = run_sweep(frames, duration_s=args.duration,
-                           num_frames=args.num_frames)
+                           num_frames=args.num_frames,
+                           max_batch=args.max_batch)
     else:
-        result = run_load(frames, args.qps, args.duration, num_frames=args.num_frames)
+        result = run_load(frames, args.qps, args.duration,
+                          num_frames=args.num_frames, max_batch=args.max_batch)
     print(json.dumps(result, indent=1))
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
