@@ -558,7 +558,7 @@ class InferenceEngine:
             self._aot_feats = False
         return self._aot_feats or None
 
-    def _load_feats_overlapped(self, frames_dir: str, chunk: int = 4):
+    def _load_feats_overlapped(self, frames_dir: str, chunk: int = 8):
         """Overlapped cold-path load for a single request: per chunk of
         ``chunk`` frames, start the (async) host->device transfer AND
         dispatch the per-chunk ViT trunk — chunk N's encode runs on device
