@@ -468,22 +468,34 @@ def main(argv=None) -> int:
             image_size=args.image_size)
 
     # ---- eval 3: retrieval Recall@K/MRR, trained vs random align ---------
-    acfg, atrained, arandom, tok = train_align(
-        anns["train"], args.num_frames, args.image_size,
-        max_steps=args.align_steps)
-    ret_trained = eval_align_retrieval(
-        acfg, atrained, anns["val"], args.num_frames, args.image_size, tok,
-        one_per_class=True, all_captions=True)
-    ret_random = eval_align_retrieval(
-        acfg, arandom, anns["val"], args.num_frames, args.image_size, tok,
-        one_per_class=True, all_captions=True)
-    ret_csv = out_dir / "retrieval.csv"
-    with ret_csv.open("w") as fh:
-        fh.write("model,recall@1,recall@5,mrr,num_queries\n")
-        for name, m in (("trained", ret_trained), ("random", ret_random)):
-            fh.write(f"{name},{m['recall@1']:.4f},{m['recall@5']:.4f},"
-                     f"{m['mrr']:.4f},{m['num_queries']}\n")
-    log.info("retrieval trained=%s random=%s", ret_trained, ret_random)
+    # best-effort: this phase runs LAST with the mapper-eval engine's
+    # buffers still resident, and at large --mapper_steps the align trainer
+    # can RESOURCE_EXHAUSTED the chip (observed 2026-08-21); the standalone
+    # scripts/align_retrieval.py is the authoritative retrieval leg (600
+    # steps, both p-value columns), so a failure here must not discard the
+    # completed BLEU phases above
+    ret_trained = ret_random = None
+    try:
+        acfg, atrained, arandom, tok = train_align(
+            anns["train"], args.num_frames, args.image_size,
+            max_steps=args.align_steps)
+        ret_trained = eval_align_retrieval(
+            acfg, atrained, anns["val"], args.num_frames, args.image_size, tok,
+            one_per_class=True, all_captions=True)
+        ret_random = eval_align_retrieval(
+            acfg, arandom, anns["val"], args.num_frames, args.image_size, tok,
+            one_per_class=True, all_captions=True)
+        ret_csv = out_dir / "retrieval.csv"
+        with ret_csv.open("w") as fh:
+            fh.write("model,recall@1,recall@5,mrr,num_queries\n")
+            for name, m in (("trained", ret_trained), ("random", ret_random)):
+                fh.write(f"{name},{m['recall@1']:.4f},{m['recall@5']:.4f},"
+                         f"{m['mrr']:.4f},{m['num_queries']}\n")
+        log.info("retrieval trained=%s random=%s", ret_trained, ret_random)
+    except Exception as exc:
+        log.warning("retrieval phase failed (%s); BLEU phases above are "
+                    "complete — run scripts/align_retrieval.py standalone "
+                    "for the retrieval leg", exc)
 
     result = {
         "wall_s": round(time.time() - t0, 1),
